@@ -1,0 +1,78 @@
+"""Drop-in API surface of the reference's C solver.
+
+``cg`` mirrors ``clcg::cg`` (``clcg.h:3-5``, ``clcg.c:111-466``) and the
+PyOpenCL host ``cl.CG`` (``cl.py:44-200``): CSR arrays in, solution out,
+with the reference's column-major multi-RHS packing ``v[i + r*size]``
+(``clcg.c:14-25``).  Internally the matrix is converted once to the best
+TPU container and the whole fixed-iteration loop runs on device.
+
+Deliberate fixes vs the reference (SURVEY §"Quirks"):
+  * real inputs keep their float dtype (``cl.py:61`` wrongly used
+    ``np.intc``);
+  * no per-call kernel rebuild for ``n_rhs == 1`` (``cl.py:45``);
+  * works for any ``size`` (the reference required
+    ``size >= LOCAL_SIZE == 256``, ``clcg.c:123``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .cg import block_cg
+from .sparse import EllMatrix, to_device_matrix
+
+
+def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
+       n_rhs: int = 1, n_iterations: int = 10, is_complex=None,
+       record_history: bool = False):
+    """Solve ``A X = B`` with ``n_iterations`` of block CG.
+
+    a_values/a_pointers/a_cols : CSR arrays (len nnz / size+1 / nnz).
+    b, x : length ``size * n_rhs``, column-major RHS stacking
+           (``v[i + r*size]``); ``x`` is the initial guess (zeros if None).
+    is_complex : inferred from dtypes when None (the C API's explicit flag,
+           ``clcg.h:5``, is accepted for parity).
+    Returns the solution with the same packing (and the per-RHS residual
+    history when ``record_history``).
+    """
+    a_values = np.asarray(a_values)
+    b = np.asarray(b)
+    if is_complex is None:
+        is_complex = np.iscomplexobj(a_values) or np.iscomplexobj(b)
+    dtype = np.complex64 if is_complex else np.float32
+    if a_values.dtype in (np.complex128, np.float64):
+        dtype = np.complex128 if is_complex else np.float64
+
+    A = EllMatrix.from_csr_arrays(size, a_values.astype(dtype), a_pointers,
+                                  a_cols)
+    B = np.asarray(b, dtype=dtype).reshape(n_rhs, size).T      # (n, nrhs)
+    X0 = None
+    if x is not None:
+        X0 = np.asarray(x, dtype=dtype).reshape(n_rhs, size).T
+        import jax.numpy as jnp
+        X0 = jnp.asarray(X0)
+    import jax.numpy as jnp
+    result = block_cg(A, jnp.asarray(B), X0, n_iterations=n_iterations)
+    out = np.asarray(result.x).T.reshape(-1)                    # column-major
+    if record_history:
+        return out, np.asarray(result.residual_history)
+    return out
+
+
+def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
+    """Convenience wrapper: scipy matrix / device container in, same
+    column-major packing semantics as ``cg``."""
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+
+    if sp.issparse(A):
+        A = to_device_matrix(A)
+    n = A.shape[0]
+    b = np.asarray(b)
+    n_rhs = n_rhs or (b.size // n)
+    B = jnp.asarray(b.reshape(n_rhs, n).T)
+    X0 = jnp.asarray(np.asarray(x).reshape(n_rhs, n).T) if x is not None else None
+    result = block_cg(A, B, X0, n_iterations=n_iterations)
+    out = np.asarray(result.x).T.reshape(-1)
+    if record_history:
+        return out, np.asarray(result.residual_history)
+    return out
