@@ -1,0 +1,83 @@
+"""Two-plane complex path == native complex path (the TPU representation
+must be numerically identical to the complex64 reference computation)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpcg import block_cg
+from tpcg.ops import (block_cg_planes, cdiv, cmul, from_planes,
+                      make_pair_operator, to_planes, udot_planes)
+from tpcg.problems import helm_fe, poisson, plane_wave_rhs
+
+
+def test_cmul_cdiv():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(10) + 1j * rng.standard_normal(10)
+    b = rng.standard_normal(10) + 1j * rng.standard_normal(10)
+    ap, bp = to_planes(a, jnp.float64), to_planes(b, jnp.float64)
+    np.testing.assert_allclose(from_planes(cmul(ap, bp)), a * b, rtol=1e-12)
+    np.testing.assert_allclose(from_planes(cdiv(ap, bp)), a / b, rtol=1e-12)
+    got = from_planes(udot_planes(ap[:, :, None], bp[:, :, None], axis=0))
+    np.testing.assert_allclose(got[0], np.sum(a * b), rtol=1e-12)
+
+
+def test_pair_matvec_matches_complex():
+    S = helm_fe(9, k=5.0, eps=5.0)
+    P = make_pair_operator(S, dtype=jnp.float64)
+    assert not P.real_only
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((81, 3)) + 1j * rng.standard_normal((81, 3))
+    want = np.asarray(S.matvec(jnp.asarray(x)))
+    got = from_planes(P.matvec(to_planes(x, jnp.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
+
+
+def test_pair_matvec_real_matrix():
+    S = poisson(8)
+    P = make_pair_operator(S, dtype=jnp.float64)
+    assert P.real_only
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((64, 2)) + 1j * rng.standard_normal((64, 2))
+    want = np.asarray(S.to_scipy() @ x)
+    got = from_planes(P.matvec(to_planes(x, jnp.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_block_cg_planes_matches_native_complex():
+    N, k = 12, 6.0
+    S = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k).reshape(-1)
+    B = np.stack([b, 2 * b], axis=1)
+    native = block_cg(S, jnp.asarray(B), n_iterations=30)
+    P = make_pair_operator(S, dtype=jnp.float64)
+    planes = block_cg_planes(P, to_planes(B, jnp.float64), n_iterations=30)
+    np.testing.assert_allclose(from_planes(planes.x), np.asarray(native.x),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(planes.residual_history),
+                               np.asarray(native.residual_history),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_block_cg_planes_single_rhs_and_guess():
+    S = poisson(10)
+    n = 100
+    b = np.random.default_rng(3).standard_normal(n) + 0j
+    x0 = np.random.default_rng(4).standard_normal(n) + 0j
+    native = block_cg(S, jnp.asarray(b.real), jnp.asarray(x0.real),
+                      n_iterations=40)
+    P = make_pair_operator(S, dtype=jnp.float64)
+    planes = block_cg_planes(P, to_planes(b, jnp.float64),
+                             to_planes(x0, jnp.float64), n_iterations=40)
+    np.testing.assert_allclose(from_planes(planes.x).real,
+                               np.asarray(native.x), rtol=1e-9, atol=1e-10)
+
+
+def test_block_cg_planes_f32():
+    S = helm_fe(10, k=4.0, eps=4.0)
+    b = plane_wave_rhs(10, 4.0).reshape(-1)
+    P = make_pair_operator(S, dtype=jnp.float32)
+    res = block_cg_planes(P, to_planes(b, jnp.float32), n_iterations=20)
+    assert res.x.dtype == jnp.float32
+    native = block_cg(S, jnp.asarray(b), n_iterations=20)
+    np.testing.assert_allclose(from_planes(res.x), np.asarray(native.x),
+                               rtol=5e-3, atol=5e-3)

@@ -1,0 +1,184 @@
+"""End-to-end distributed ORAS/FGMRES solves.
+
+The acceptance oracle is the reference's own (SURVEY §4): post-solve true
+residual ``||A x - b||`` against the *global* operator, plus agreement of
+the reconstructed global solution with a scipy direct solve.
+"""
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+import jax.numpy as jnp
+
+from tpcg.parallel import (Decomposition, SchwarzPrec, fgmres, hsolver,
+                           make_partition, weighted_gmres)
+from tpcg.parallel.hsolver import Counter, island_wave_speed
+from tpcg.problems import helm_fe, local_rect, plane_wave_rhs
+from tpcg.utils.config import HelmholtzConfig
+
+from test_halo import ol_oracle
+
+
+def setup_problem(M=2, W=8, OL=2, k=6.0):
+    part = make_partition(M, W, OL)
+    decomp = Decomposition(part)
+    N = part.N
+    S = helm_fe(N, k=k, eps=k)
+    b = plane_wave_rhs(N, k)
+    return decomp, S, b
+
+
+def test_schwarz_prec_matches_spsolve_oracle():
+    """One application of the ORAS preconditioner (dense_lu) against a
+    per-subdomain scipy spsolve + loop-oracle exchange (UseCG=0 path)."""
+    decomp, S, _ = setup_problem()
+    part = decomp.part
+    Sd = part.sdsz
+    P = local_rect(part.N, k=6.0, eps=6.0, eta=6.0, Nhoriz=Sd, Nvert=Sd)
+    prec = SchwarzPrec(decomp, P, method="dense_lu")
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal(decomp.grid_shape) \
+        + 1j * rng.standard_normal(decomp.grid_shape)
+    got = np.asarray(prec(jnp.asarray(z)))
+
+    Pcsr = P.to_scipy().tocsc()
+    r = np.empty_like(z)
+    M = part.M
+    for p in range(part.nsubd):
+        si, sj = divmod(p, M)
+        r[si, sj] = spla.spsolve(Pcsr, z[si, sj].ravel()).reshape(Sd, Sd)
+    want = ol_oracle(r, part, restricted=True, averaging=True)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_schwarz_block_cg_converges_to_exact():
+    """With enough CG iterations the batched block-CG subdomain solve
+    approaches the exact solve (UseCG=2 vs UseCG=0 cross-check)."""
+    decomp, S, _ = setup_problem(M=2, W=6, OL=1)
+    Sd = decomp.part.sdsz
+    P = local_rect(decomp.part.N, k=6.0, eps=6.0, eta=6.0,
+                   Nhoriz=Sd, Nvert=Sd)
+    exact = SchwarzPrec(decomp, P, method="dense_lu")
+    iterative = SchwarzPrec(decomp, P, method="block_cg", cg_iterations=800)
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.standard_normal(decomp.grid_shape)
+                    + 1j * rng.standard_normal(decomp.grid_shape))
+    a = np.asarray(exact(z))
+    b = np.asarray(iterative(z))
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
+
+
+def test_fgmres_oras_converges_and_matches_direct_solve():
+    decomp, S, b_global = setup_problem(M=2, W=8, OL=2, k=6.0)
+    part = decomp.part
+    coef = jnp.asarray(decomp.crop_stencil(np.asarray(S.coef)))
+    b = jnp.asarray(decomp.crop_grid(b_global))
+    P = local_rect(part.N, k=6.0, eps=6.0, eta=6.0,
+                   Nhoriz=part.sdsz, Nvert=part.sdsz)
+    prec = SchwarzPrec(decomp, P, method="dense_lu")
+    res = fgmres(lambda x: decomp.ax_op(coef, S.offsets, x), b, M=prec,
+                 tol=1e-8, krylsize=60, norm=decomp.norm, wdot=decomp.wdot)
+    assert res.converged
+    # true residual against the GLOBAL operator
+    x_glob = decomp.to_global(np.asarray(res.x), check=True, tol=1e-5)
+    A = S.to_scipy()
+    r = A @ x_glob.ravel() - b_global.ravel()
+    assert np.linalg.norm(r) < 1e-6 * np.linalg.norm(b_global)
+    # and against the direct solve
+    x_direct = spla.spsolve(A.tocsc(), b_global.ravel())
+    err = np.abs(x_glob.ravel() - x_direct).max() / np.abs(x_direct).max()
+    assert err < 1e-5
+
+
+def test_fgmres_unpreconditioned():
+    decomp, S, b_global = setup_problem(M=2, W=6, OL=1, k=3.0)
+    coef = jnp.asarray(decomp.crop_stencil(np.asarray(S.coef)))
+    b = jnp.asarray(decomp.crop_grid(b_global))
+    res = fgmres(lambda x: decomp.ax_op(coef, S.offsets, x), b,
+                 tol=1e-8, krylsize=200, norm=decomp.norm,
+                 wdot=decomp.wdot)
+    assert res.converged
+    x_glob = decomp.to_global(np.asarray(res.x), check=True, tol=1e-5)
+    A = S.to_scipy()
+    r = A @ x_glob.ravel() - b_global.ravel()
+    assert np.linalg.norm(r) < 1e-5 * np.linalg.norm(b_global)
+
+
+def test_wgmres_oras_converges():
+    decomp, S, b_global = setup_problem(M=2, W=8, OL=2, k=6.0)
+    part = decomp.part
+    coef = jnp.asarray(decomp.crop_stencil(np.asarray(S.coef)))
+    b = jnp.asarray(decomp.crop_grid(b_global))
+    P = local_rect(part.N, k=6.0, eps=6.0, eta=6.0,
+                   Nhoriz=part.sdsz, Nvert=part.sdsz)
+    prec = SchwarzPrec(decomp, P, method="dense_lu")
+    res = weighted_gmres(lambda x: decomp.ax_op(coef, S.offsets, x), b,
+                         M=prec, tol=1e-6, maxiter=100,
+                         norm=decomp.norm, wdot=decomp.wdot)
+    assert res.converged
+    x_glob = decomp.to_global(np.asarray(res.x), check=True, tol=1e-4)
+    A = S.to_scipy()
+    r = A @ x_glob.ravel() - b_global.ravel()
+    # wgmres applies M on the left; the convergence test is on the
+    # preconditioned residual, so allow slack on the true one
+    assert np.linalg.norm(r) < 1e-3 * np.linalg.norm(b_global)
+
+
+def test_hsolver_end_to_end():
+    """The full HSolver pipeline (assembly, ORAS, FGMRES, verification)
+    with reference-flavoured settings scaled down."""
+    cfg = HelmholtzConfig(k=6.0, M_subd=2, W_subd=8, use_cg=0, tol=1e-6,
+                          restart=80, dtype="complex128", verbose=0)
+    counter = Counter(verbose=0)
+    res = hsolver(cfg, callback=counter)
+    assert res.converged
+    assert res.true_residual < 5e-5
+    assert res.iterations == counter.it
+    assert len(counter.residuals) >= res.iterations
+
+    # solution matches the direct solve of the global system
+    from tpcg.problems import helm_fe as _hf
+    part = res.decomp.part
+    A = _hf(part.N, cfg.k, cfg.epsilon).to_scipy()
+    b = plane_wave_rhs(part.N, cfg.k)
+    x_direct = spla.spsolve(A.tocsc(), b.ravel())
+    x_glob = res.decomp.to_global(np.asarray(res.x), check=True, tol=1e-4)
+    err = np.abs(x_glob.ravel() - x_direct).max() / np.abs(x_direct).max()
+    assert err < 1e-4
+
+
+def test_hsolver_block_cg_subsolves():
+    """UseCG=2-style batched CG subsolves: same convergence as exact."""
+    cfg = HelmholtzConfig(k=6.0, M_subd=2, W_subd=8, use_cg=2,
+                          cg_max_it=300, tol=1e-6, restart=80,
+                          dtype="complex128", verbose=0)
+    res = hsolver(cfg)
+    assert res.converged
+    assert res.true_residual < 5e-5
+
+
+def test_hsolver_poisson():
+    cfg = HelmholtzConfig(M_subd=2, W_subd=8, use_poisson=True, use_cg=0,
+                          tol=1e-8, restart=100, dtype="complex128",
+                          verbose=0)
+    res = hsolver(cfg)
+    assert res.converged
+
+
+def test_hsolver_var_coeff():
+    cfg = HelmholtzConfig(k=6.0, M_subd=2, W_subd=8, var_coeff=True,
+                          mar_mult_in=2.0, mar_mult_out=1.0, use_cg=2,
+                          cg_max_it=300, tol=1e-6, restart=100,
+                          dtype="complex128", verbose=0)
+    res = hsolver(cfg)
+    assert res.converged
+    assert res.true_residual < 1e-4
+
+
+def test_island_wave_speed():
+    c = island_wave_speed(13, 3, mult_in=3.0, mult_out=1.0,
+                          match_subdomains=True)
+    assert c.shape == (12, 12)
+    assert c.min() == 1.0 and c.max() == 3.0
+    # middle-third square carries mult_in
+    assert c[6, 6] == 3.0 and c[0, 0] == 1.0

@@ -72,11 +72,12 @@ def block_cg(A, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         x, r, d, delta = carry
         q = matvec(d)
         dq = dot(d, q)
-        # Guard exact convergence: once <r,r> hits exactly 0 the iterate is
-        # the solution and alpha/beta become 0/0; freeze it instead of
-        # producing NaNs (deliberate robustness fix over clcg.c:317 --
-        # reachable only when running fixed iterations past convergence).
-        done = delta == 0
+        # Guard exact convergence: once <r,r> (or <d,q>, after d underflows)
+        # hits exactly 0 the iterate is converged and alpha/beta become 0/0;
+        # freeze it instead of producing NaNs (deliberate robustness fix
+        # over clcg.c:317 -- reachable only when running fixed iterations
+        # past convergence).
+        done = (delta == 0) | (dq == 0)
         alpha = jnp.where(done, 0, delta / jnp.where(done, 1, dq))
         x = x + alpha * d
         r = r - alpha * q

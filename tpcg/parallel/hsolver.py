@@ -1,0 +1,246 @@
+"""Top-level distributed Helmholtz solver.
+
+==  ``HSolver`` + the ``gmres`` dispatcher + ``counter``
+(``p_h-PY_C-CL-multi-GPU.py:3341-3505, 3294-3338, 1807-1827``):
+
+  1. build the equal-size partition (grid expanded by 2*OL, :3397-3402),
+  2. assemble the global operator (Helmholtz FE const/var coeff, or the
+     Poisson debug problem) and crop it per subdomain,
+  3. assemble the plane-wave impedance RHS,
+  4. build the ORAS preconditioner (impedance blocks, batched subdomain CG),
+  5. run FGMRES / wGMRES with the iteration counter callback,
+  6. verify the true residual ||A x - b|| like the reference's post-solve
+     check (:3316-3337).
+
+All device state is (M, M, S, S); pass ``mesh`` to shard the subdomain grid
+over devices (the TPU replacement for MPI ranks + the multi-GPU thread
+fan-out).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..problems.helmholtz import helm_fe, helm_fe_var, local_rect
+from ..problems.poisson import poisson
+from ..problems.rhs import plane_wave_rhs
+from ..utils.config import HelmholtzConfig
+from .fgmres import fgmres, FGMRESResult
+from .halo import Decomposition
+from .partition import make_partition
+from .schwarz import SchwarzPrec
+from .wgmres import weighted_gmres
+
+
+def island_wave_speed(N: int, M_subd: int, mult_in: float, mult_out: float,
+                      match_subdomains: bool = True, shift: int = 0
+                      ) -> np.ndarray:
+    """The synthetic "1/3 island" variable-coefficient field
+    (``HSolver``, ``p_h-PY_C-CL-multi-GPU.py:3404-3441``): wave speed
+    ``mult_in`` on the middle-third square, ``mult_out`` outside, with the
+    jump either aligned to subdomain boundaries or to the 3x3 coarse grid,
+    optionally shifted NW by ``shift`` cells.  (A stand-in for the Marmousi
+    model; ``UseMarmousi`` file loading is handled by the caller.)"""
+    if match_subdomains:
+        lft = int(M_subd / 3.0)
+        rgt = int(2 * M_subd / 3.0)
+        morig = np.full((M_subd, M_subd), mult_out, dtype=float)
+        morig[lft:rgt, lft:rgt] = mult_in
+    else:
+        morig = np.full((3, 3), mult_out, dtype=float)
+        morig[1, 1] = mult_in
+    mx, my = morig.shape
+    c = np.empty((N - 1, N - 1))
+    for i in range(N - 1):
+        ii = min(i + shift, N - 2)
+        for j in range(N - 1):
+            jj = min(j + shift, N - 2)
+            c[i, j] = morig[int(ii / (N - 1) * mx), int(jj / (N - 1) * my)]
+    return c
+
+
+@dataclasses.dataclass
+class Counter:
+    """Iteration counter / per-iteration timer callback
+    (``counter``, ``p_h-PY_C-CL-multi-GPU.py:1807-1827``)."""
+    verbose: int = 0
+    it: int = 0
+    time_per_it: float = 0.0
+    residuals: List[float] = dataclasses.field(default_factory=list)
+    _t: float = dataclasses.field(default_factory=time.time)
+
+    def __call__(self, z):
+        self.it += 1
+        dt = time.time() - self._t
+        if self.it > 1:
+            self.time_per_it += dt
+        self.residuals.append(float(z))
+        if self.verbose == 10:
+            print(self.it, "--", z, " ", dt, "s", flush=True)
+        elif self.verbose > 0:
+            print("\r", self.it, "-->", z, end=" ", flush=True)
+        self._t = time.time()
+        return z
+
+
+@dataclasses.dataclass
+class HSolverResult:
+    x: jnp.ndarray                  # (M, M, S, S) solution
+    iterations: int
+    residual_norms: List[float]
+    true_residual: float
+    converged: bool
+    decomp: Decomposition
+    wall_time: float
+    time_per_it: float
+
+
+def build_operator(cfg: HelmholtzConfig, decomp: Decomposition):
+    """Assemble the global operator for the expanded grid and crop it to
+    (noff, M, M, S, S) subdomain coefficients, plus the RHS."""
+    N = decomp.part.N
+    if cfg.use_poisson:
+        S = poisson(N)
+        b = np.ones((N, N), dtype=np.float64)
+    else:
+        if cfg.var_coeff:
+            C = island_wave_speed(N, cfg.M_subd, cfg.mar_mult_in,
+                                  cfg.mar_mult_out, cfg.mar_match,
+                                  cfg.mar_shift)
+            # the reference passes the absolute damping as rho here
+            # (:3453: helm_fe_var(N, k, C=Marmousi, rho=epsilon)).
+            S = helm_fe_var(N, cfg.k, C, cfg.epsilon)
+        else:
+            S = helm_fe(N, cfg.k, cfg.epsilon)
+        b = plane_wave_rhs(N, cfg.k)
+    coef = decomp.crop_stencil(np.asarray(S.coef))
+    return S, coef, b
+
+
+def build_preconditioner(cfg: HelmholtzConfig, decomp: Decomposition,
+                         coef_global=None):
+    """The ORAS subdomain blocks (``as_prec`` first-call setup,
+    ``p_h-PY_C-CL-multi-GPU.py:1848-1906``)."""
+    N, S = decomp.part.N, decomp.part.sdsz
+    if cfg.robin == 1:
+        if cfg.var_coeff:
+            # per-subdomain impedance blocks from the cropped wave speed
+            # (:1870-1874; note the reference passes rho=eps_prec1 here).
+            C = island_wave_speed(N, cfg.M_subd, cfg.mar_mult_in,
+                                  cfg.mar_mult_out, cfg.mar_match,
+                                  cfg.mar_shift)
+            M = decomp.part.M
+            coefs = []
+            for p in range(decomp.part.nsubd):
+                r, c = decomp.part.row0[p], decomp.part.col0[p]
+                blk = helm_fe_var(N, cfg.k, C[r:r + S - 1, c:c + S - 1],
+                                  cfg.eps1, Nhoriz=S, Nvert=S)
+                coefs.append(np.asarray(blk.coef))
+            coef = np.stack(coefs, axis=1).reshape(
+                (-1, M, M, S, S))
+            offsets = blk.offsets
+            return (jnp.asarray(coef.astype(_np_dtype(cfg))), offsets)
+        return local_rect(N, cfg.k, cfg.eps1, eta=cfg.k, L=1.0,
+                          Nhoriz=S, Nvert=S, dtype=_np_dtype(cfg))
+    # Robin == 0: reuse the cropped global operator as subdomain blocks
+    # (Dirichlet-flavoured AS, :1878-1881).
+    if coef_global is None:
+        raise ValueError("robin=0 needs the cropped global coefficients")
+    from ..problems.helmholtz import OFFSETS
+    return (jnp.asarray(coef_global), OFFSETS)
+
+
+def _np_dtype(cfg: HelmholtzConfig):
+    # The reference pipeline is complex throughout, even for the real
+    # Poisson debug problem (complex impedance preconditioner blocks,
+    # complex initial guess, MPI.COMPLEX buffers).
+    return np.complex64 if cfg.dtype == "complex64" else np.complex128
+
+
+def generate_random_guess(decomp: Decomposition, dtype, seed=0):
+    """Consistent random initial guess: random per-subdomain values made
+    consistent across overlaps by a forced-averaging ``OL_update``
+    (``Generate_random``, ``p_h-PY_C-CL-multi-GPU.py:2749-2763``)."""
+    rng = np.random.default_rng(seed)
+    shape = decomp.grid_shape
+    x = rng.random(shape) + 1j * rng.random(shape)
+    x = jnp.asarray(x.astype(dtype))
+    return decomp.ol_update(x, restricted=False, averaging=True)
+
+
+def hsolver(cfg: HelmholtzConfig, mesh=None,
+            callback: Optional[Counter] = None) -> HSolverResult:
+    dtype = _np_dtype(cfg)
+    part = make_partition(cfg.M_subd, cfg.W_subd, cfg.overlap)
+    decomp = Decomposition(part)
+    Mg, S = part.M, part.sdsz
+
+    Sglob, coef_np, b_global = build_operator(cfg, decomp)
+    offsets = Sglob.offsets
+    coef = jnp.asarray(coef_np.astype(dtype))
+    b = jnp.asarray(decomp.crop_grid(b_global).astype(dtype))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P("sd"))
+        coef = jax.device_put(coef, NamedSharding(mesh, P(None, "sd")))
+        b = jax.device_put(b, sh)
+
+    matvec = jax.jit(lambda x: decomp.ax_op(coef, offsets, x))
+
+    prec = None
+    if cfg.as_prec == 1:
+        P_block = build_preconditioner(cfg, decomp, coef_np)
+        method = {0: "dense_lu", 1: "block_cg", 2: "block_cg",
+                  5: "block_cg", 6: "block_cg"}.get(cfg.use_cg, "block_cg")
+        sp = SchwarzPrec(decomp, P_block, method=method,
+                         cg_iterations=cfg.cg_max_it,
+                         restricted=cfg.restricted_as,
+                         averaging=bool(cfg.averaging))
+        prec = jax.jit(sp.__call__)
+
+    if cfg.guess == 1:
+        x0 = jnp.ones(decomp.grid_shape, dtype)
+    elif cfg.guess == 2:
+        x0 = generate_random_guess(decomp, dtype, cfg.seed)
+    else:
+        x0 = None
+
+    norm = jax.jit(decomp.norm)
+    wdot = jax.jit(decomp.wdot)
+    if callback is None:
+        callback = Counter(verbose=0)
+
+    t0 = time.time()
+    if cfg.gmres_ver == "wgmres":
+        res = weighted_gmres(matvec, b, M=prec, x0=x0, tol=cfg.tol,
+                             maxiter=cfg.restart, norm=norm, wdot=wdot,
+                             callback=callback)
+    else:
+        res = fgmres(matvec, b, M=prec, x0=x0, tol=cfg.tol,
+                     krylsize=cfg.restart, norm=norm, wdot=wdot,
+                     callback=callback)
+    wall = time.time() - t0
+
+    # post-solve true-residual verification (:3316-3337)
+    true_res = float(norm(matvec(res.x) - b))
+    if x0 is None:
+        ref = float(norm(b))
+    else:
+        ref = float(norm(matvec(x0) - b))
+    if true_res > cfg.tol * ref and cfg.verbose:
+        print("############ did it converge to the solution????  <--------")
+        print("#### norm(A*x-b)=", true_res, "tol=", cfg.tol)
+        print("#### tol*||r0||=", cfg.tol * ref)
+
+    its = callback.it if callback.it else res.iterations
+    tpi = callback.time_per_it / max(its - 1, 1)
+    return HSolverResult(x=res.x, iterations=its,
+                         residual_norms=res.residual_norms,
+                         true_residual=true_res, converged=res.converged,
+                         decomp=decomp, wall_time=wall, time_per_it=tpi)

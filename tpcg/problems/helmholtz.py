@@ -80,8 +80,6 @@ def assemble_helmholtz_fe(h: float, mass_sq: np.ndarray, bnd_sq: np.ndarray,
     bnd_sq  : (nv-1, nh-1) boundary/impedance coefficient per square
               (``omega/c`` or ``eta``).
     """
-    import jax.numpy as jnp
-
     mass_sq = np.asarray(mass_sq, dtype=dtype)
     bnd_sq = np.asarray(bnd_sq, dtype=dtype)
     nv, nh = mass_sq.shape[0] + 1, mass_sq.shape[1] + 1
@@ -97,9 +95,8 @@ def assemble_helmholtz_fe(h: float, mass_sq: np.ndarray, bnd_sq: np.ndarray,
     # --- diagonal -----------------------------------------------------------
     n_adj = e_nw + e_sw + e_ne + e_se                     # stiffness: 4/2/1
     mass_d = (m_nw + 2.0 * m_sw + 2.0 * m_ne + m_se) * h2 / 12.0
-    # boundary sides touching this node: bottom (m==0): squares L/R along the
-    # bottom are SW?? no: for a bottom node the adjacent squares *on the
-    # bottom side* are its NW and NE squares (row 0 of squares).
+    # boundary-mass diagonal: for a node on a boundary side, the squares
+    # adjacent along that side (e.g. NW and NE for a bottom node).
     bdiag = np.zeros((nv, nh), dtype=dtype)
     bdiag[0, :] += b_nw[0, :] + b_ne[0, :]        # bottom side
     bdiag[-1, :] += b_sw[-1, :] + b_se[-1, :]     # top side
@@ -156,7 +153,9 @@ def assemble_helmholtz_fe(h: float, mass_sq: np.ndarray, bnd_sq: np.ndarray,
     sw[:, 0] = 0.0
 
     coef = np.stack([diag, east, west, north, south, ne, sw])
-    return Stencil2D(OFFSETS, jnp.asarray(coef.astype(dtype)), (nv, nh))
+    # keep coefficients host-side: device upload happens on first use,
+    # and the TPU pair path (tpcg.ops.cplx) splits planes before upload
+    return Stencil2D(OFFSETS, coef.astype(dtype), (nv, nh))
 
 
 def helm_fe_var(N: int, omega: float, C: np.ndarray, rho: float,

@@ -14,8 +14,6 @@ OFFSETS = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
 
 
 def poisson(N: int, dtype=np.float64) -> Stencil2D:
-    import jax.numpy as jnp
-
     diag = np.full((N, N), 4.0, dtype=dtype)
     east = np.full((N, N), -1.0, dtype=dtype)
     east[:, -1] = 0.0
@@ -26,4 +24,4 @@ def poisson(N: int, dtype=np.float64) -> Stencil2D:
     south = np.full((N, N), -1.0, dtype=dtype)
     south[0, :] = 0.0
     coef = np.stack([diag, east, west, north, south])
-    return Stencil2D(OFFSETS, jnp.asarray(coef), (N, N))
+    return Stencil2D(OFFSETS, coef, (N, N))
