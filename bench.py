@@ -3,12 +3,13 @@ matrix -- the reference's ``helm_fem`` configuration (report Table I:
 n = 16384 = 128^2, nnz = 113,666; report Fig. 5 baseline: 2.390 GFLOPS on
 an RTX 2080S at 5000 iterations, 1 RHS).
 
-The complex system runs in the two-plane float32 representation
-(``tpcg.ops.cplx``), Karatsuba 3-SpMV complex matvec, whole solve in one
-on-device ``lax.scan``.  FLOP accounting follows report Table II (complex:
-SpMV 8*nnz, dot 8*n x2, axpy-class 8*n x3 per iteration).  Timing starts
-with device buffers resident and the program compiled, like the
-reference's protocol.
+The complex system runs as two float32 planes (``tpcg.ops.cplx``); the
+whole 5000-iteration solve executes inside one VMEM-resident Pallas
+kernel (``tpcg.ops.fused_cg``) -- matrix and all CG state stay on-chip,
+zero HBM traffic per iteration.  FLOP accounting follows report Table II
+(complex: SpMV 8*nnz, dot 8*n x2, axpy-class 8*n x3 per iteration).
+Timing starts with device buffers resident and the program compiled, like
+the reference's protocol.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,10 +21,9 @@ import numpy as np
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
-    from tpcg.ops import block_cg_planes, make_pair_operator, to_planes
+    from tpcg.ops.fused_cg import fused_cg_stencil, prepare_coef3
     from tpcg.problems import helm_fe, plane_wave_rhs
 
     N, k = 128, 12.0
@@ -31,26 +31,29 @@ def main():
     A = helm_fe(N, k, eps=k)
     nnz = int(np.count_nonzero(np.asarray(A.coef)))
     n = N * N
-    P = make_pair_operator(A, dtype=jnp.float32)
-    b = to_planes(plane_wave_rhs(N, k).reshape(-1), jnp.float32)
+    coef3 = prepare_coef3(A)
+    bg = plane_wave_rhs(N, k)
+    b = jnp.asarray(np.stack([bg.real, bg.imag])[:, None]
+                    .astype(np.float32))
+    x0 = jnp.zeros_like(b)
 
     @jax.jit
-    def solve(P, b):
-        res = block_cg_planes(P, b, n_iterations=iters)
-        return res.x, res.residual_history[-1]
+    def solve(coef3, b, x0):
+        x, hist = fused_cg_stencil(A.offsets, coef3, b, x0, iters)
+        return hist[-1]
 
     # warmup: compile + make buffers resident.  NB: on this backend
-    # block_until_ready does not reliably fence; a device->host readback of
-    # the (tiny) final residual is the synchronisation point, so each
+    # block_until_ready does not reliably fence; a device->host readback
+    # of the (tiny) final residual is the synchronisation point, so each
     # timed rep includes one transfer round-trip.
-    rn = np.asarray(solve(P, b)[1])
-    assert np.all(np.isfinite(rn))
+    rn = np.asarray(solve(coef3, b, x0))
+    assert np.all(np.isfinite(rn)), rn
 
     reps = 5
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(solve(P, b)[1])
+        np.asarray(solve(coef3, b, x0))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
