@@ -1,0 +1,69 @@
+"""Solution visualisation.
+
+Counterparts of the reference's plotting helpers: ``matplotlib_plot3d``
+(``helmFE_var.py:609-623``, pcolor heatmap of a flattened N^2 field),
+``drawX3D`` (``p_h-PY_C-CL-multi-GPU.py:43-89``, real/imag 3-D surfaces)
+and the Gnuplot ``plot3d``/``gnuplot3d`` (replaced by matplotlib -- no
+Gnuplot dependency).  All imports are lazy so headless solver runs never
+touch matplotlib.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _square(f):
+    f = np.asarray(f)
+    if f.ndim == 1:
+        n = int(np.sqrt(f.size))
+        f = f.reshape(n, n)
+    return f
+
+
+def plot_field(f, label: str = "", show: bool = True, path: str = None):
+    """Heatmap of a (flattened) grid field (== ``matplotlib_plot3d``)."""
+    import matplotlib
+    if path is not None:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    ff = _square(f)
+    n = ff.shape[0]
+    x = np.linspace(0.0, 1.0, n)
+    xx, yy = np.meshgrid(x, x)
+    fig = plt.figure()
+    plt.pcolormesh(xx, yy, np.abs(ff) if np.iscomplexobj(ff) else ff)
+    plt.colorbar()
+    plt.title(label)
+    if path is not None:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    elif show:
+        plt.show()
+    return fig
+
+
+def plot_surface3d(f, label: str = "", parts=("real", "imag"),
+                   show: bool = True, path: str = None):
+    """Real/imag 3-D surfaces of a complex grid field (== ``drawX3D``)."""
+    import matplotlib
+    if path is not None:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    ff = _square(f)
+    n = ff.shape[0]
+    x = np.linspace(0.0, 1.0, n)
+    xx, yy = np.meshgrid(x, x)
+    fig = plt.figure(figsize=(6 * len(parts), 5))
+    for i, part in enumerate(parts):
+        ax = fig.add_subplot(1, len(parts), i + 1, projection="3d")
+        z = getattr(ff, part) if np.iscomplexobj(ff) else ff
+        ax.plot_surface(xx, yy, z, cmap="viridis", linewidth=0)
+        ax.set_title(f"{label} ({part})")
+    if path is not None:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    elif show:
+        plt.show()
+    return fig
