@@ -1,0 +1,91 @@
+"""Block (multi-RHS) scaling benchmark -- report Fig. 6 parity.
+
+The reference shows block CG GFLOPS rising with the number of simultaneous
+RHS (m_t1: ~40 GFLOPS at b=20, capped at b=47 by GPU local memory,
+report SV).  This sweeps b on the helm_fem-class complex problem with the
+fused VMEM kernel and writes a markdown table.
+
+Run on the TPU:  python benchmarks/bench_block_rhs.py [--iters 1000]
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+    from tpcg.ops.cplx import block_cg_planes, make_pair_operator
+    from tpcg.ops.fused_cg import fused_cg_stencil, prepare_coef3
+    from tpcg.problems import helm_fe, plane_wave_rhs
+
+    iters = 1000
+    if "--iters" in sys.argv:
+        iters = int(sys.argv[sys.argv.index("--iters") + 1])
+
+    N, k = 128, 12.0
+    A = helm_fe(N, k, eps=k)
+    nnz = int(np.count_nonzero(np.asarray(A.coef)))
+    n = N * N
+    coef3 = prepare_coef3(A)
+    bg = plane_wave_rhs(N, k)
+
+    P = make_pair_operator(A, dtype=jnp.float32)
+    rows = []
+    for nb in (1, 2, 4, 8, 16, 32, 48, 64):
+        B = np.stack([(r + 1) * bg for r in range(nb)])
+        bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
+        x0 = jnp.zeros_like(bp)
+
+        # fused VMEM kernel while the state fits on-chip (~nb<=4 at
+        # N=128); XLA streaming planes path beyond -- the reference hits
+        # a hard CL_OUT_OF_RESOURCES wall instead (report SV).
+        path = "fused-vmem"
+        try:
+            fn = jax.jit(lambda c, b, x: fused_cg_stencil(
+                A.offsets, c, b, x, iters)[1][-1])
+            rn = np.asarray(fn(coef3, bp, x0))      # compile + warm
+            assert np.all(np.isfinite(rn)), (nb, rn)
+            run = lambda: np.asarray(fn(coef3, bp, x0))
+        except Exception:
+            path = "xla-stream"
+            b2 = bp.reshape(2, nb, n).transpose(0, 2, 1)
+            fn2 = jax.jit(lambda b: block_cg_planes(
+                P, b, n_iterations=iters).residual_history[-1])
+            rn = np.asarray(fn2(b2))
+            assert np.all(np.isfinite(rn)), (nb, rn)
+            run = lambda: np.asarray(fn2(b2))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        flops = iters * nb * 4 * (2 * nnz + 10 * n)
+        gflops = flops / dt / 1e9
+        rows.append((nb, dt, gflops, path))
+        print(json.dumps({"n_rhs": nb, "time_s": round(dt, 4),
+                          "gflops": round(gflops, 1), "path": path}),
+              flush=True)
+
+    out = ["# Block-RHS scaling (helm_fem config, fused kernel, "
+           f"{iters} iterations, TPU v5e)", "",
+           "Reference (report Fig. 6, RTX 2080S, m_t1): rises to "
+           "~40 GFLOPS at b=20; hard cap b=47 (CL_OUT_OF_RESOURCES).",
+           "", "| n_rhs | time (s) | GFLOPS | path |", "|---|---|---|---|"]
+    for nb, dt, gf, path in rows:
+        out.append(f"| {nb} | {dt:.4f} | {gf:.1f} | {path} |")
+    path = os.path.join(os.path.dirname(__file__), "BLOCK_RHS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,3 +60,59 @@ def test_fused_initial_guess_and_single_rhs():
     xr = from_planes(np.asarray(ref.x))
     np.testing.assert_allclose(xf, xr, rtol=0,
                                atol=2e-3 * np.abs(xr).max())
+
+
+def test_fused_const_matches_general():
+    from tpcg.ops.fused_cg_const import fused_cg_const
+    N, k = 20, 5.0
+    S = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    B = np.stack([b, 2 * b, 3 * b])
+    xc, hc = fused_cg_const(S, B, n_iterations=25, interpret=True)
+    xg, hg = fused_cg(S, B, n_iterations=25, interpret=True)
+    scale = np.abs(np.asarray(xg)).max()
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(xg), rtol=0,
+                               atol=2e-3 * scale)
+    np.testing.assert_allclose(np.asarray(hc), np.asarray(hg), rtol=2e-2,
+                               atol=1e-3 * float(hg[0, 0]))
+
+
+def test_fused_const_poisson_oracle():
+    from tpcg.ops.fused_cg_const import fused_cg_const
+    S = poisson(16)
+    b = np.ones((16, 16))
+    x, hist = fused_cg_const(S, b, n_iterations=40, interpret=True)
+    x_ref = reference.cg(S.to_scipy(), b.reshape(-1), n_iterations=40)
+    xf = from_planes(np.asarray(x)).reshape(-1)
+    np.testing.assert_allclose(xf.real, x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_split_const_stencil_rejects_variable():
+    from tpcg.ops.fused_cg_const import split_const_stencil
+    from tpcg.problems import helm_fe_var
+    import pytest as _pytest
+    rng = np.random.default_rng(0)
+    S = helm_fe_var(12, 5.0, 0.5 + rng.random((11, 11)), 0.1)
+    with _pytest.raises(ValueError):
+        split_const_stencil(S)
+
+
+def test_split_const_stencil_exact():
+    """C + D must reproduce the full operator exactly."""
+    from tpcg.ops.fused_cg_const import split_const_stencil
+    N, k = 16, 5.0
+    S = helm_fe(N, k, eps=k)
+    consts, strips = split_const_stencil(S)
+    c = np.asarray(S.coef)
+    # interior equals consts
+    assert np.allclose(c[:, 3, 3], consts)
+    # reconstruct: full const + strips == coef wherever the tap exists
+    rec = np.broadcast_to(consts[:, None, None], c.shape).copy()
+    rec[:, 0, :] += strips["bot"]
+    rec[:, N - 1, :] += strips["top"]
+    rec[:, 1:N - 1, 0] += strips["left"]
+    rec[:, 1:N - 1, N - 1] += strips["right"]
+    # where the tap leaves the grid the apply reads zero, so only compare
+    # where the assembled coefficient is nonzero
+    mask = c != 0
+    np.testing.assert_allclose(rec[mask], c[mask], rtol=1e-12)

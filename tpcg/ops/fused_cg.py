@@ -17,15 +17,17 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
  * the direction vector lives in a zero-border padded scratch buffer, so
    each stencil tap is a *static* 2-D slice -- no rolls, no gathers.
  * per-RHS alpha/beta (B independent COCG recurrences, ``clcg.c:317``)
-   are (B,) vectors carried through ``lax.fori_loop``; reductions are
-   plain ``jnp.sum`` over the (Nv, Nh) data dims.
+   are *statically unrolled scalar recurrences*: Mosaic's layout inference
+   aborts on reshapes/broadcasts of tiny (B,)-shaped vectors, so each RHS
+   keeps rank-0 scalars (scalar reductions and scalar*matrix broadcasts
+   are the well-supported forms).  This bounds the practical batch at a
+   few dozen RHS -- beyond the reference's b=47 GPU cap.
  * the zero border is written once and never touched again (taps only
-   read it), which implements the Dirichlet-style zero fill of
-   ``Stencil2D.apply_grid`` exactly.
+   read it), which implements the zero fill of ``Stencil2D.apply_grid``
+   exactly.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -38,6 +40,79 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pad_for(offsets) -> int:
     return max(max(abs(dm), abs(dj)) for dm, dj in offsets)
+
+
+def _cdiv_scalar(ar, ai, br, bi):
+    """Smith-scaled complex division on rank-0 scalars (see
+    ``tpcg.ops.cplx.cdiv``)."""
+    m = jnp.maximum(jnp.abs(br), jnp.abs(bi))
+    ms = jnp.where(m == 0, 1.0, m)
+    b0, b1 = br / ms, bi / ms
+    d = (b0 * b0 + b1 * b1) * ms
+    return (ar * b0 + ai * b1) / d, (ai * b0 - ar * b1) / d
+
+
+def _cg_scalar_step(it, deltas, nb, qr, qi, read_d, write_d, xr, xi,
+                    rr, ri, hist_ref):
+    """One CG update sweep: statically-unrolled per-RHS scalar recurrences
+    shared by the fused kernels.
+
+    read_d(r) -> (dcur_r, dcur_i) current direction of RHS r;
+    write_d(r, wr, wi) stores the next direction.
+    Returns the new delta scalars tuple.
+    """
+    new_deltas = []
+    for r in range(nb):
+        delta_r, delta_i = deltas[2 * r], deltas[2 * r + 1]
+        dcr, dci = read_d(r)
+        qrr, qir = qr[r], qi[r]
+        dq_r = jnp.sum(dcr * qrr - dci * qir)
+        dq_i = jnp.sum(dcr * qir + dci * qrr)
+        done = ((delta_r == 0) & (delta_i == 0)) \
+            | ((dq_r == 0) & (dq_i == 0))
+        a_r, a_i = _cdiv_scalar(delta_r, delta_i,
+                                jnp.where(done, 1.0, dq_r),
+                                jnp.where(done, 0.0, dq_i))
+        a_r = jnp.where(done, 0.0, a_r)
+        a_i = jnp.where(done, 0.0, a_i)
+        xr[r] = xr[r] + (a_r * dcr - a_i * dci)
+        xi[r] = xi[r] + (a_r * dci + a_i * dcr)
+        new_rr = rr[r] - (a_r * qrr - a_i * qir)
+        new_ri = ri[r] - (a_r * qir + a_i * qrr)
+        rr[r] = new_rr
+        ri[r] = new_ri
+        dn_r = jnp.sum(new_rr * new_rr - new_ri * new_ri)
+        dn_i = 2.0 * jnp.sum(new_rr * new_ri)
+        hist_ref[r, pl.ds(it + 1, 1), 0:1] = jnp.full(
+            (1, 1), jnp.sqrt(jnp.sqrt(dn_r * dn_r + dn_i * dn_i)))
+        be_r, be_i = _cdiv_scalar(dn_r, dn_i,
+                                  jnp.where(done, 1.0, delta_r),
+                                  jnp.where(done, 0.0, delta_i))
+        be_r = jnp.where(done, 0.0, be_r)
+        be_i = jnp.where(done, 0.0, be_i)
+        write_d(r, new_rr + (be_r * dcr - be_i * dci),
+                new_ri + (be_r * dci + be_i * dcr))
+        new_deltas += [dn_r, dn_i]
+    return tuple(new_deltas)
+
+
+def _init_state(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
+                dr_pad, di_pad, hist_ref, q0r, q0i):
+    """Shared init: r0 = b - A x0, d0 = r0, delta0 scalars, hist[0]."""
+    rr[...] = b_ref[0] - q0r
+    ri[...] = b_ref[1] - q0i
+    xr[...] = x0_ref[0]
+    xi[...] = x0_ref[1]
+    dr_pad[:, P:P + nv, P:P + nh] = rr[...]
+    di_pad[:, P:P + nv, P:P + nh] = ri[...]
+    deltas = []
+    for r in range(nb):
+        d0r = jnp.sum(rr[r] * rr[r] - ri[r] * ri[r])
+        d0i = 2.0 * jnp.sum(rr[r] * ri[r])
+        hist_ref[r, 0:1, 0:1] = jnp.full(
+            (1, 1), jnp.sqrt(jnp.sqrt(d0r * d0r + d0i * d0i)))
+        deltas += [d0r, d0i]
+    return tuple(deltas)
 
 
 def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
@@ -58,12 +133,12 @@ def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
     assert (bv, bh) == (nv, nh), (b.shape, coef3.shape)
     P = _pad_for(offsets)
     pv, ph = nv + 2 * P, nh + 2 * P
-    eps_like = b.dtype
+    dt = b.dtype
 
     def apply_stencil(coef_ref, dr_pad, di_pad):
         """Karatsuba complex stencil apply of the padded direction."""
-        qr = jnp.zeros((nb, nv, nh), dtype=eps_like)
-        qi = jnp.zeros((nb, nv, nh), dtype=eps_like)
+        qr = jnp.zeros((nb, nv, nh), dtype=dt)
+        qi = jnp.zeros((nb, nv, nh), dtype=dt)
         for s, (dm, dj) in enumerate(offsets):
             xr = dr_pad[:, P + dm:P + dm + nv, P + dj:P + dj + nh]
             xi = di_pad[:, P + dm:P + dm + nv, P + dj:P + dj + nh]
@@ -77,79 +152,41 @@ def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
             qi = qi + (m3 - m1 - m2)
         return qr, qi
 
-    def udot(ar, ai, br, bi):
-        """(B,)-wise unconjugated complex dot over the grid dims."""
-        re = jnp.sum(ar * br - ai * bi, axis=(1, 2))
-        im = jnp.sum(ar * bi + ai * br, axis=(1, 2))
-        return re, im
-
-    def cdiv_s(ar, ai, br, bi):
-        m = jnp.maximum(jnp.abs(br), jnp.abs(bi))
-        ms = jnp.where(m == 0, 1.0, m)
-        b0, b1 = br / ms, bi / ms
-        d = (b0 * b0 + b1 * b1) * ms
-        return (ar * b0 + ai * b1) / d, (ai * b0 - ar * b1) / d
-
     def kernel(coef_ref, b_ref, x0_ref, xout_ref, hist_ref,
                xr, xi, rr, ri, dr_pad, di_pad):
         # zero the padded buffers once; the border stays zero forever.
-        dr_pad[...] = jnp.zeros((nb, pv, ph), eps_like)
-        di_pad[...] = jnp.zeros((nb, pv, ph), eps_like)
-
+        dr_pad[...] = jnp.zeros((nb, pv, ph), dt)
+        di_pad[...] = jnp.zeros((nb, pv, ph), dt)
         # r0 = b - A x0  (stage x0 through the padded scratch)
         dr_pad[:, P:P + nv, P:P + nh] = x0_ref[0]
         di_pad[:, P:P + nv, P:P + nh] = x0_ref[1]
         q0r, q0i = apply_stencil(coef_ref, dr_pad, di_pad)
-        rr[...] = b_ref[0] - q0r
-        ri[...] = b_ref[1] - q0i
-        xr[...] = x0_ref[0]
-        xi[...] = x0_ref[1]
-        dr_pad[:, P:P + nv, P:P + nh] = rr[...]
-        di_pad[:, P:P + nv, P:P + nh] = ri[...]
+        deltas0 = _init_state(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
+                              dr_pad, di_pad, hist_ref, q0r, q0i)
 
-        d0r, d0i = udot(rr[...], ri[...], rr[...], ri[...])
-        hist_ref[0, :] = jnp.sqrt(jnp.sqrt(d0r * d0r + d0i * d0i))
+        def read_d(r):
+            return (dr_pad[r, P:P + nv, P:P + nh],
+                    di_pad[r, P:P + nv, P:P + nh])
 
-        def body(it, delta):
-            delta_r, delta_i = delta
+        def write_d(r, wr, wi):
+            dr_pad[r, P:P + nv, P:P + nh] = wr
+            di_pad[r, P:P + nv, P:P + nh] = wi
+
+        def body(it, deltas):
             qr, qi = apply_stencil(coef_ref, dr_pad, di_pad)
-            dcur_r = dr_pad[:, P:P + nv, P:P + nh]
-            dcur_i = di_pad[:, P:P + nv, P:P + nh]
-            dq_r, dq_i = udot(dcur_r, dcur_i, qr, qi)
-            done = ((delta_r == 0) & (delta_i == 0)) \
-                | ((dq_r == 0) & (dq_i == 0))
-            a_r, a_i = cdiv_s(delta_r, delta_i,
-                              jnp.where(done, 1.0, dq_r),
-                              jnp.where(done, 0.0, dq_i))
-            a_r = jnp.where(done, 0.0, a_r)[:, None, None]
-            a_i = jnp.where(done, 0.0, a_i)[:, None, None]
-            xr[...] = xr[...] + (a_r * dcur_r - a_i * dcur_i)
-            xi[...] = xi[...] + (a_r * dcur_i + a_i * dcur_r)
-            new_rr = rr[...] - (a_r * qr - a_i * qi)
-            new_ri = ri[...] - (a_r * qi + a_i * qr)
-            rr[...] = new_rr
-            ri[...] = new_ri
-            dn_r, dn_i = udot(new_rr, new_ri, new_rr, new_ri)
-            hist_ref[it + 1, :] = jnp.sqrt(jnp.sqrt(dn_r * dn_r
-                                                    + dn_i * dn_i))
-            be_r, be_i = cdiv_s(dn_r, dn_i,
-                                jnp.where(done, 1.0, delta_r),
-                                jnp.where(done, 0.0, delta_i))
-            be_r = jnp.where(done, 0.0, be_r)[:, None, None]
-            be_i = jnp.where(done, 0.0, be_i)[:, None, None]
-            dr_pad[:, P:P + nv, P:P + nh] = new_rr + (be_r * dcur_r
-                                                      - be_i * dcur_i)
-            di_pad[:, P:P + nv, P:P + nh] = new_ri + (be_r * dcur_i
-                                                      + be_i * dcur_r)
-            return (dn_r, dn_i)
+            return _cg_scalar_step(it, deltas, nb, qr, qi, read_d,
+                                   write_d, xr, xi, rr, ri, hist_ref)
 
-        lax.fori_loop(0, n_iterations, body, (d0r, d0i))
+        lax.fori_loop(0, n_iterations, body, deltas0)
         xout_ref[0] = xr[...]
         xout_ref[1] = xi[...]
 
     out_shapes = (
-        jax.ShapeDtypeStruct((2, nb, nv, nh), eps_like),
-        jax.ShapeDtypeStruct((n_iterations + 1, nb), eps_like),
+        jax.ShapeDtypeStruct((2, nb, nv, nh), dt),
+        # (nb, iters+1, 1): per-RHS scalar (1, 1) stores with the dynamic
+        # iteration index on the sublane dim -- no small-vector reshapes
+        # (Mosaic aborts on those); transposed below.
+        jax.ShapeDtypeStruct((nb, n_iterations + 1, 1), dt),
     )
     x, hist = pl.pallas_call(
         kernel,
@@ -158,16 +195,16 @@ def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((nb, nv, nh), eps_like),    # xr
-            pltpu.VMEM((nb, nv, nh), eps_like),    # xi
-            pltpu.VMEM((nb, nv, nh), eps_like),    # rr
-            pltpu.VMEM((nb, nv, nh), eps_like),    # ri
-            pltpu.VMEM((nb, pv, ph), eps_like),    # d_pad re
-            pltpu.VMEM((nb, pv, ph), eps_like),    # d_pad im
+            pltpu.VMEM((nb, nv, nh), dt),    # xr
+            pltpu.VMEM((nb, nv, nh), dt),    # xi
+            pltpu.VMEM((nb, nv, nh), dt),    # rr
+            pltpu.VMEM((nb, nv, nh), dt),    # ri
+            pltpu.VMEM((nb, pv, ph), dt),    # d_pad re
+            pltpu.VMEM((nb, pv, ph), dt),    # d_pad im
         ],
         interpret=interpret,
     )(coef3, b, x0)
-    return x, hist
+    return x, hist[:, :, 0].T
 
 
 def prepare_coef3(stencil, dtype=np.float32) -> jnp.ndarray:

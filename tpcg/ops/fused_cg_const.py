@@ -1,0 +1,233 @@
+"""Fused CG for constant-coefficient stencils: zero matrix traffic.
+
+For the reference's headline problems (``helm_fe`` const-coefficient
+Helmholtz, Poisson) the stencil coefficients are identical at every
+interior node; only the ring of boundary nodes differs.  This kernel
+exploits that: the interior taps are *compile-time complex scalars*
+(register operands -- the matrix costs no VMEM and no loads at all) and
+the boundary deviation is applied as four thin correction strips.  That
+shrinks the VMEM footprint from O(21 n) coefficient floats to O(n) state,
+so grids up to N=512 (n=262k) run fully VMEM-resident, and the iteration
+is purely vector-op bound.
+
+Decomposition:  A = C + D  where C is the constant-coefficient stencil
+(scalar taps c_s) and D = A - C is nonzero only on boundary nodes.  D is
+stored as strips: bottom/top rows (full width) and left/right columns
+(excluding the corner rows, to avoid double counting).
+
+STATUS: numerically validated (interpret mode == general fused kernel ==
+NumPy oracle) but currently *slow when compiled* on this image's Mosaic:
+the width-1 boundary-column arithmetic lowers to lane-width-1 vector ops
+(~100x penalty), so the general ``fused_cg`` kernel remains the production
+path.  Kept for the larger-N VMEM-residency design it enables once the
+column corrections are restructured (e.g. via a transposed staging
+buffer).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_cg import _pad_for, _cg_scalar_step, _init_state
+
+
+def split_const_stencil(stencil):
+    """Stencil2D -> (const scalar taps, boundary strip corrections).
+
+    Returns (consts, strips) where consts is a complex (noff,) numpy array
+    (the coefficient at an interior reference node) and strips is a dict
+    with complex numpy arrays:
+      bot/top : (noff, Nh)   rows 0 / Nv-1
+      left/right : (noff, Nv-2)  cols 0 / Nh-1, rows 1..Nv-2
+    Raises ValueError if the interior is not constant.
+    """
+    c = np.asarray(stencil.coef)
+    noff, nv, nh = c.shape
+    interior = c[:, 2:-2, 2:-2]
+    consts = interior[:, 0, 0].copy()
+    if not np.allclose(interior, consts[:, None, None], rtol=1e-12,
+                       atol=1e-14):
+        raise ValueError("stencil interior is not constant-coefficient")
+    # D = c - const.  Where a tap would leave the grid the assembly stores
+    # 0, so delta there is -const; harmless, because both the constant
+    # apply and the strip correction read the zero border for such taps.
+    full = np.broadcast_to(consts[:, None, None], c.shape)
+    delta = c - full
+    strips = {
+        "bot": delta[:, 0, :].copy(),
+        "top": delta[:, nv - 1, :].copy(),
+        "left": delta[:, 1:nv - 1, 0].copy(),
+        "right": delta[:, 1:nv - 1, nh - 1].copy(),
+    }
+    # rows 1..nv-2, cols 1..nh-2 must have zero deviation
+    if not np.allclose(delta[:, 1:-1, 1:-1], 0.0, atol=1e-14):
+        raise ValueError("boundary deviation wider than one ring")
+    return consts, strips
+
+
+def _planes3(a, dtype):
+    a = np.asarray(a)
+    return np.stack([a.real, a.imag, a.real + a.imag]).astype(dtype)
+
+
+def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
+                   interpret: bool = False):
+    """Fixed-iteration block CG on a constant-coefficient Stencil2D.
+
+    b : complex (B, Nv, Nh) or (Nv, Nh).  Same numerics/returns as
+    ``tpcg.ops.fused_cg.fused_cg``.
+    """
+    offsets = stencil.offsets
+    nv, nh = stencil.grid
+    consts, strips = split_const_stencil(stencil)
+    P = _pad_for(offsets)
+    pv, ph = nv + 2 * P, nh + 2 * P
+
+    b = np.asarray(b).reshape(-1, nv, nh)
+    nb = b.shape[0]
+    dtype = np.float32
+    bp = jnp.asarray(np.stack([b.real, b.imag]).astype(dtype))
+    if x0 is None:
+        x0p = jnp.zeros((2, nb, nv, nh), dtype)
+    else:
+        x0 = np.asarray(x0).reshape(-1, nv, nh)
+        x0p = jnp.asarray(np.stack([x0.real, x0.imag]).astype(dtype))
+
+    # strip corrections as float planes shaped for broadcast against the
+    # dim-preserving slices: rows (3, noff, 1, Nh), cols (3, noff, Nv-2, 1)
+    sb = jnp.asarray(_planes3(strips["bot"], dtype)[:, :, None, :])
+    st = jnp.asarray(_planes3(strips["top"], dtype)[:, :, None, :])
+    sl = jnp.asarray(_planes3(strips["left"], dtype)[:, :, :, None])
+    sr = jnp.asarray(_planes3(strips["right"], dtype)[:, :, :, None])
+    # interior scalar taps baked in as python floats (no memory at all)
+    cr = tuple(float(v) for v in consts.real)
+    ci = tuple(float(v) for v in consts.imag)
+
+    def apply_const(dr_pad, di_pad, sb_ref, st_ref, sl_ref, sr_ref,
+                    qr_s, qi_s):
+        qr = jnp.zeros((nb, nv, nh), dtype)
+        qi = jnp.zeros((nb, nv, nh), dtype)
+        for s, (dm, dj) in enumerate(offsets):
+            xr = dr_pad[:, P + dm:P + dm + nv, P + dj:P + dj + nh]
+            xi = di_pad[:, P + dm:P + dm + nv, P + dj:P + dj + nh]
+            if cr[s] != 0.0:
+                qr = qr + cr[s] * xr
+                qi = qi + cr[s] * xi
+            if ci[s] != 0.0:
+                qr = qr - ci[s] * xi
+                qi = qi + ci[s] * xr
+        # boundary corrections: D acts only on ring rows/cols.  All
+        # slices preserve dims ((nb, 1, Nh) rows / (nb, Nv-2, 1) cols) --
+        # integer indexing would squeeze dims and hit slow layouts.
+        row_bot_r = jnp.zeros((nb, 1, nh), dtype)
+        row_bot_i = jnp.zeros((nb, 1, nh), dtype)
+        row_top_r = jnp.zeros((nb, 1, nh), dtype)
+        row_top_i = jnp.zeros((nb, 1, nh), dtype)
+        col_l_r = jnp.zeros((nb, nv - 2, 1), dtype)
+        col_l_i = jnp.zeros((nb, nv - 2, 1), dtype)
+        col_r_r = jnp.zeros((nb, nv - 2, 1), dtype)
+        col_r_i = jnp.zeros((nb, nv - 2, 1), dtype)
+        for s, (dm, dj) in enumerate(offsets):
+            # row m=0 taps d[dm, j+dj]; row m=nv-1 taps d[nv-1+dm, j+dj]
+            xb_r = dr_pad[:, P + dm:P + dm + 1, P + dj:P + dj + nh]
+            xb_i = di_pad[:, P + dm:P + dm + 1, P + dj:P + dj + nh]
+            xt_r = dr_pad[:, P + nv - 1 + dm:P + nv + dm,
+                          P + dj:P + dj + nh]
+            xt_i = di_pad[:, P + nv - 1 + dm:P + nv + dm,
+                          P + dj:P + dj + nh]
+            ar, ai = sb_ref[0, s], sb_ref[1, s]
+            row_bot_r += ar * xb_r - ai * xb_i
+            row_bot_i += ar * xb_i + ai * xb_r
+            ar, ai = st_ref[0, s], st_ref[1, s]
+            row_top_r += ar * xt_r - ai * xt_i
+            row_top_i += ar * xt_i + ai * xt_r
+            # col j=0 rows 1..nv-2 tap d[m+dm, dj]; col j=nh-1 similar
+            xl_r = dr_pad[:, P + 1 + dm:P + nv - 1 + dm,
+                          P + dj:P + dj + 1]
+            xl_i = di_pad[:, P + 1 + dm:P + nv - 1 + dm,
+                          P + dj:P + dj + 1]
+            xr_r = dr_pad[:, P + 1 + dm:P + nv - 1 + dm,
+                          P + nh - 1 + dj:P + nh + dj]
+            xr_i = di_pad[:, P + 1 + dm:P + nv - 1 + dm,
+                          P + nh - 1 + dj:P + nh + dj]
+            ar, ai = sl_ref[0, s], sl_ref[1, s]
+            col_l_r += ar * xl_r - ai * xl_i
+            col_l_i += ar * xl_i + ai * xl_r
+            ar, ai = sr_ref[0, s], sr_ref[1, s]
+            col_r_r += ar * xr_r - ai * xr_i
+            col_r_i += ar * xr_i + ai * xr_r
+        # Mosaic has no scatter-add on values; stage q in scratch refs and
+        # use supported slice read-modify-writes for the ring corrections.
+        qr_s[...] = qr
+        qi_s[...] = qi
+        qr_s[:, 0:1, :] = qr_s[:, 0:1, :] + row_bot_r
+        qi_s[:, 0:1, :] = qi_s[:, 0:1, :] + row_bot_i
+        qr_s[:, nv - 1:nv, :] = qr_s[:, nv - 1:nv, :] + row_top_r
+        qi_s[:, nv - 1:nv, :] = qi_s[:, nv - 1:nv, :] + row_top_i
+        qr_s[:, 1:nv - 1, 0:1] = qr_s[:, 1:nv - 1, 0:1] + col_l_r
+        qi_s[:, 1:nv - 1, 0:1] = qi_s[:, 1:nv - 1, 0:1] + col_l_i
+        qr_s[:, 1:nv - 1, nh - 1:nh] = qr_s[:, 1:nv - 1, nh - 1:nh] \
+            + col_r_r
+        qi_s[:, 1:nv - 1, nh - 1:nh] = qi_s[:, 1:nv - 1, nh - 1:nh] \
+            + col_r_i
+        return qr_s[...], qi_s[...]
+
+    def kernel(sb_ref, st_ref, sl_ref, sr_ref, b_ref, x0_ref,
+               xout_ref, hist_ref, xr, xi, rr, ri, dr_pad, di_pad,
+               qr_s, qi_s):
+        dr_pad[...] = jnp.zeros((nb, pv, ph), dtype)
+        di_pad[...] = jnp.zeros((nb, pv, ph), dtype)
+        dr_pad[:, P:P + nv, P:P + nh] = x0_ref[0]
+        di_pad[:, P:P + nv, P:P + nh] = x0_ref[1]
+        q0r, q0i = apply_const(dr_pad, di_pad, sb_ref, st_ref, sl_ref,
+                               sr_ref, qr_s, qi_s)
+        deltas0 = _init_state(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
+                              dr_pad, di_pad, hist_ref, q0r, q0i)
+
+        def read_d(r):
+            return (dr_pad[r, P:P + nv, P:P + nh],
+                    di_pad[r, P:P + nv, P:P + nh])
+
+        def write_d(r, wr, wi):
+            dr_pad[r, P:P + nv, P:P + nh] = wr
+            di_pad[r, P:P + nv, P:P + nh] = wi
+
+        def body(it, deltas):
+            qr, qi = apply_const(dr_pad, di_pad, sb_ref, st_ref, sl_ref,
+                                 sr_ref, qr_s, qi_s)
+            return _cg_scalar_step(it, deltas, nb, qr, qi, read_d,
+                                   write_d, xr, xi, rr, ri, hist_ref)
+
+        lax.fori_loop(0, n_iterations, body, deltas0)
+        xout_ref[0] = xr[...]
+        xout_ref[1] = xi[...]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((2, nb, nv, nh), dtype),
+        jax.ShapeDtypeStruct((nb, n_iterations + 1, 1), dtype),
+    )
+    x, hist = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((nb, nv, nh), dtype),
+            pltpu.VMEM((nb, nv, nh), dtype),
+            pltpu.VMEM((nb, nv, nh), dtype),
+            pltpu.VMEM((nb, nv, nh), dtype),
+            pltpu.VMEM((nb, pv, ph), dtype),
+            pltpu.VMEM((nb, pv, ph), dtype),
+            pltpu.VMEM((nb, nv, nh), dtype),    # q staging (re)
+            pltpu.VMEM((nb, nv, nh), dtype),    # q staging (im)
+        ],
+        interpret=interpret,
+    )(sb, st, sl, sr, bp, x0p)
+    return x, hist[:, :, 0].T

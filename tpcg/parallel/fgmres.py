@@ -54,15 +54,46 @@ def _givens(h_diag: complex, h_sub: float):
     return g1, g2
 
 
+def _as_complex(d) -> np.ndarray:
+    """Device dot result -> host complex vector.  Accepts native complex
+    (K,) or two-plane (2, K) layouts."""
+    d = np.asarray(d)
+    if d.ndim == 2 and d.shape[0] == 2:
+        return d[0] + 1j * d[1]
+    return d.astype(np.complex128)
+
+
+def _native_lincomb(coeffs: np.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    return jnp.tensordot(jnp.asarray(coeffs).astype(basis.dtype), basis,
+                         axes=(0, 0))
+
+
+def planes_lincomb(coeffs: np.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    """Complex linear combination of a two-plane basis (K, 2, ...)."""
+    cr = jnp.asarray(coeffs.real.astype(basis.dtype))
+    ci = jnp.asarray(coeffs.imag.astype(basis.dtype))
+    vr, vi = basis[:, 0], basis[:, 1]
+    return jnp.stack([jnp.tensordot(cr, vr, (0, 0))
+                      - jnp.tensordot(ci, vi, (0, 0)),
+                      jnp.tensordot(cr, vi, (0, 0))
+                      + jnp.tensordot(ci, vr, (0, 0))])
+
+
 def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
            tol: float = 1e-6, krylsize: int = 100, norm=None, wdot=None,
+           lincomb=None,
            callback: Optional[Callable] = None) -> FGMRESResult:
     """Solve ``A x = b`` with one FGMRES cycle of up to ``krylsize`` steps.
 
     matvec / M : distributed operator and (flexible) preconditioner over
-        arbitrary-shape arrays (the ORAS layer passes (M, M, S, S) fields).
-    norm(v) -> float, wdot(V, v) -> (krylsize+1,) batched Hermitian dots
-        over the leading axis; defaults are plain dense reductions.
+        arbitrary-shape arrays (the ORAS layer passes (M, M, S, S) fields,
+        or (2, M, M, S, S) float planes for the TPU path).
+    norm(v) -> float, wdot(V, v) -> batched Hermitian dots over the
+        leading axis (native complex (K,) or planes (2, K) layout), and
+        lincomb(complex coeffs, V) -> sum_i c_i V_i; defaults are plain
+        dense complex reductions.  For planes vectors pass
+        ``Decomposition.norm_planes`` / ``.wdot_planes`` /
+        ``planes_lincomb``.
     tol : relative to ||r0|| (``:2938-2939``).
     """
     if norm is None:
@@ -70,6 +101,8 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
     if wdot is None:
         wdot = lambda V, v: jnp.sum(
             jnp.conj(V) * v, axis=tuple(range(1, V.ndim)))
+    if lincomb is None:
+        lincomb = _native_lincomb
     if M is None:
         M = lambda z: z
 
@@ -113,11 +146,11 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         # two-pass classical Gram-Schmidt against the active basis
         # (:2977-2984); padded columns are zero and contribute nothing.
         hcol = np.zeros(K + 1, dtype=np.complex128)
-        active = jnp.asarray((kmask <= kk).astype(np.float64))
+        active = (kmask <= kk)
         for _ in range(2):
-            dots = wdot(VV, pp) * active
-            pp = pp - jnp.tensordot(dots.astype(dtype), VV, axes=(0, 0))
-            hcol += np.asarray(dots)
+            dots = _as_complex(wdot(VV, pp)) * active
+            pp = pp - lincomb(dots, VV)
+            hcol += dots
         h_sub = float(norm(pp))
         VV = VV.at[kk + 1].set(pp / h_sub)
         H[: kk + 1, kk] = hcol[: kk + 1]
@@ -152,5 +185,5 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
             y[j] = 0.0
         else:
             y[j] = acc / H[j, j]
-    x = x + jnp.tensordot(jnp.asarray(y.astype(dtype)), MV[:K], axes=(0, 0))
+    x = x + lincomb(y, MV[:K])
     return FGMRESResult(x, m, residual_norms, converged)

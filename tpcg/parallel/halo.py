@@ -201,6 +201,18 @@ class Decomposition:
         return x
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def apply_stencil_raw(coef: jnp.ndarray, offsets, x: jnp.ndarray
+                          ) -> jnp.ndarray:
+        """Batched per-subdomain stencil apply, *without* the boundary-ring
+        fix-up (the outermost ring rows lack out-of-box neighbour terms)."""
+        from ..sparse import _shift2d
+
+        y = coef[0] * _shift2d(x, *offsets[0])
+        for s in range(1, len(offsets)):
+            y = y + coef[s] * _shift2d(x, *offsets[s])
+        return y
+
     def ax_op(self, coef: jnp.ndarray, offsets, x: jnp.ndarray
               ) -> jnp.ndarray:
         """Distributed matvec of the row-sharded global operator.
@@ -213,13 +225,13 @@ class Decomposition:
         the neighbour's fully-assembled values, exactly like ``Ax_op``'s
         boundary-row overwrite.
         """
-        from ..sparse import _shift2d
+        return self.ring_overwrite(self.apply_stencil_raw(coef, offsets, x))
 
+    def ring_overwrite(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Overwrite each subdomain's outermost ring with the neighbours'
+        fully-assembled values (``Ax_op``'s receive phase,
+        ``p_h-PY_C-CL-multi-GPU.py:2663-2744``)."""
         M, S, OL = self.part.M, self.part.sdsz, self.part.OL
-        y = coef[0] * _shift2d(x, *offsets[0])
-        for s in range(1, len(offsets)):
-            y = y + coef[s] * _shift2d(x, *offsets[s])
-
         has = self._has
         rdt = y.real.dtype
         hW = jnp.asarray(has["W"], rdt)[None, :, None]     # (1,M,1) by sj
@@ -262,6 +274,45 @@ class Decomposition:
         m = hS2 * hE2
         y = y.at[..., 0, S - 1].set(y[..., 0, S - 1] * (1 - m) + se * m)
         return y
+
+    # ---- two-plane (float32) variants for the TPU compute path --------
+    # (this environment's TPU cannot execute complex64 programs; see
+    #  tpcg/ops/cplx.py.  The exchange and overwrite are R-linear with
+    #  real masks, so plane-wise application is exactly the complex op.)
+
+    def ol_update_planes(self, xp: jnp.ndarray, restricted: bool = True,
+                         averaging: bool = True) -> jnp.ndarray:
+        """xp: (2, M, M, S, S) planes."""
+        return jnp.stack([
+            self.ol_update(xp[0], restricted, averaging),
+            self.ol_update(xp[1], restricted, averaging)])
+
+    def ax_op_planes(self, coef3: jnp.ndarray, offsets, xp: jnp.ndarray
+                     ) -> jnp.ndarray:
+        """Distributed complex matvec on planes.
+
+        coef3: (3, noff, M, M, S, S) float planes [Ar, Ai, Ar+Ai]
+        (Karatsuba, as in ``tpcg.ops.cplx.PairOperator``); the ring
+        overwrite is applied to the combined planes, which equals the
+        complex overwrite."""
+        m1 = self.apply_stencil_raw(coef3[0], offsets, xp[0])
+        m2 = self.apply_stencil_raw(coef3[1], offsets, xp[1])
+        m3 = self.apply_stencil_raw(coef3[2], offsets, xp[0] + xp[1])
+        return jnp.stack([self.ring_overwrite(m1 - m2),
+                          self.ring_overwrite(m3 - m1 - m2)])
+
+    def norm_planes(self, zp: jnp.ndarray) -> jnp.ndarray:
+        u = jnp.asarray(self._unique, zp.dtype)
+        return jnp.sqrt(jnp.sum((zp[0] * zp[0] + zp[1] * zp[1]) * u))
+
+    def wdot_planes(self, Xp: jnp.ndarray, yp: jnp.ndarray) -> jnp.ndarray:
+        """Hermitian dots on planes: Xp (K, 2, M, M, S, S) batched basis,
+        yp (2, M, M, S, S) -> (2, K) [re, im] of conj(X).y."""
+        u = jnp.asarray(self._unique, yp.dtype)
+        ax = (-4, -3, -2, -1)
+        re = jnp.sum((Xp[:, 0] * yp[0] + Xp[:, 1] * yp[1]) * u, axis=ax)
+        im = jnp.sum((Xp[:, 0] * yp[1] - Xp[:, 1] * yp[0]) * u, axis=ax)
+        return jnp.stack([re, im])
 
     # ------------------------------------------------------------------
     def norm(self, z: jnp.ndarray) -> jnp.ndarray:

@@ -147,12 +147,25 @@ def build_preconditioner(cfg: HelmholtzConfig, decomp: Decomposition,
             return (jnp.asarray(coef.astype(_np_dtype(cfg))), offsets)
         return local_rect(N, cfg.k, cfg.eps1, eta=cfg.k, L=1.0,
                           Nhoriz=S, Nvert=S, dtype=_np_dtype(cfg))
-    # Robin == 0: reuse the cropped global operator as subdomain blocks
-    # (Dirichlet-flavoured AS, :1878-1881).
-    if coef_global is None:
-        raise ValueError("robin=0 needs the cropped global coefficients")
+    # Robin == 0: reuse the (cropped) global operator as the subdomain
+    # blocks (Dirichlet-flavoured AS).  When the preconditioner damping
+    # differs from the operator's, the reference assembles a separate fine
+    # matrix A_eps with eps_prec1 and crops that instead
+    # (p_h-PY_C-CL-multi-GPU.py:1882-1906); same here.
     from ..problems.helmholtz import OFFSETS
-    return (jnp.asarray(coef_global), OFFSETS)
+    if cfg.use_poisson or abs(cfg.eps1 - cfg.epsilon) < 1e-30:
+        if coef_global is None:
+            raise ValueError("robin=0 needs the cropped global coefficients")
+        return (jnp.asarray(coef_global), OFFSETS)
+    if cfg.var_coeff:
+        C = island_wave_speed(N, cfg.M_subd, cfg.mar_mult_in,
+                              cfg.mar_mult_out, cfg.mar_match,
+                              cfg.mar_shift)
+        A_eps = helm_fe_var(N, cfg.k, C, cfg.eps1)
+    else:
+        A_eps = helm_fe(N, cfg.k, cfg.eps1)
+    return (jnp.asarray(decomp.crop_stencil(np.asarray(A_eps.coef))),
+            OFFSETS)
 
 
 def _np_dtype(cfg: HelmholtzConfig):
@@ -162,13 +175,18 @@ def _np_dtype(cfg: HelmholtzConfig):
     return np.complex64 if cfg.dtype == "complex64" else np.complex128
 
 
-def generate_random_guess(decomp: Decomposition, dtype, seed=0):
+def generate_random_guess(decomp: Decomposition, dtype, seed=0,
+                          planes: bool = False):
     """Consistent random initial guess: random per-subdomain values made
     consistent across overlaps by a forced-averaging ``OL_update``
     (``Generate_random``, ``p_h-PY_C-CL-multi-GPU.py:2749-2763``)."""
     rng = np.random.default_rng(seed)
     shape = decomp.grid_shape
     x = rng.random(shape) + 1j * rng.random(shape)
+    if planes:
+        fdt = np.float32 if dtype == np.complex64 else np.float64
+        xp = jnp.asarray(np.stack([x.real, x.imag]).astype(fdt))
+        return decomp.ol_update_planes(xp, restricted=False, averaging=True)
     x = jnp.asarray(x.astype(dtype))
     return decomp.ol_update(x, restricted=False, averaging=True)
 
@@ -176,43 +194,74 @@ def generate_random_guess(decomp: Decomposition, dtype, seed=0):
 def hsolver(cfg: HelmholtzConfig, mesh=None,
             callback: Optional[Counter] = None) -> HSolverResult:
     dtype = _np_dtype(cfg)
+    planes = cfg.use_planes
+    if planes is None:
+        # complex64 programs do not run on the TPU backend here; the
+        # two-plane float32 path is both required and faster there.
+        planes = jax.default_backend() != "cpu"
     part = make_partition(cfg.M_subd, cfg.W_subd, cfg.overlap)
     decomp = Decomposition(part)
     Mg, S = part.M, part.sdsz
 
     Sglob, coef_np, b_global = build_operator(cfg, decomp)
     offsets = Sglob.offsets
-    coef = jnp.asarray(coef_np.astype(dtype))
-    b = jnp.asarray(decomp.crop_grid(b_global).astype(dtype))
+    bg = decomp.crop_grid(b_global)
+    if planes:
+        fdt = np.float32 if cfg.dtype == "complex64" else np.float64
+        coef = jnp.asarray(np.stack([
+            coef_np.real, coef_np.imag,
+            coef_np.real + coef_np.imag]).astype(fdt))
+        b = jnp.asarray(np.stack([bg.real, bg.imag]).astype(fdt))
+    else:
+        coef = jnp.asarray(coef_np.astype(dtype))
+        b = jnp.asarray(bg.astype(dtype))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(mesh, P("sd"))
-        coef = jax.device_put(coef, NamedSharding(mesh, P(None, "sd")))
-        b = jax.device_put(b, sh)
+        lead = (None,) if planes else ()
+        coef_spec = P(*(lead + (None, "sd")))
+        state_spec = P(*(lead + ("sd",)))
+        coef = jax.device_put(coef, NamedSharding(mesh, coef_spec))
+        b = jax.device_put(b, NamedSharding(mesh, state_spec))
 
-    matvec = jax.jit(lambda x: decomp.ax_op(coef, offsets, x))
+    if planes:
+        matvec = jax.jit(lambda x: decomp.ax_op_planes(coef, offsets, x))
+        norm = jax.jit(decomp.norm_planes)
+        wdot = jax.jit(decomp.wdot_planes)
+        from .fgmres import planes_lincomb as lincomb
+    else:
+        matvec = jax.jit(lambda x: decomp.ax_op(coef, offsets, x))
+        norm = jax.jit(decomp.norm)
+        wdot = jax.jit(decomp.wdot)
+        lincomb = None
 
     prec = None
     if cfg.as_prec == 1:
         P_block = build_preconditioner(cfg, decomp, coef_np)
         method = {0: "dense_lu", 1: "block_cg", 2: "block_cg",
-                  5: "block_cg", 6: "block_cg"}.get(cfg.use_cg, "block_cg")
+                  5: "numpy", 6: "block_cg"}.get(cfg.use_cg, "block_cg")
+        if method == "numpy" and planes:
+            method = "block_cg"   # host oracle mode is complex-only
         sp = SchwarzPrec(decomp, P_block, method=method,
-                         cg_iterations=cfg.cg_max_it,
+                         cg_iterations=cfg.cg_max_it, cg_tol=cfg.cg_tol,
                          restricted=cfg.restricted_as,
-                         averaging=bool(cfg.averaging))
-        prec = jax.jit(sp.__call__)
+                         averaging=bool(cfg.averaging), planes=planes)
+        # the UseCG=5 host-NumPy oracle mode cannot be jitted
+        prec = sp.__call__ if method == "numpy" else jax.jit(sp.__call__)
 
+    state_shape = ((2,) if planes else ()) + decomp.grid_shape
+    sdt = b.dtype
     if cfg.guess == 1:
-        x0 = jnp.ones(decomp.grid_shape, dtype)
+        if planes:
+            x0 = jnp.concatenate([jnp.ones((1,) + decomp.grid_shape, sdt),
+                                  jnp.zeros((1,) + decomp.grid_shape, sdt)])
+        else:
+            x0 = jnp.ones(state_shape, sdt)
     elif cfg.guess == 2:
-        x0 = generate_random_guess(decomp, dtype, cfg.seed)
+        x0 = generate_random_guess(decomp, dtype, cfg.seed, planes=planes)
     else:
         x0 = None
 
-    norm = jax.jit(decomp.norm)
-    wdot = jax.jit(decomp.wdot)
     if callback is None:
         callback = Counter(verbose=0)
 
@@ -220,11 +269,11 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
     if cfg.gmres_ver == "wgmres":
         res = weighted_gmres(matvec, b, M=prec, x0=x0, tol=cfg.tol,
                              maxiter=cfg.restart, norm=norm, wdot=wdot,
-                             callback=callback)
+                             lincomb=lincomb, callback=callback)
     else:
         res = fgmres(matvec, b, M=prec, x0=x0, tol=cfg.tol,
                      krylsize=cfg.restart, norm=norm, wdot=wdot,
-                     callback=callback)
+                     lincomb=lincomb, callback=callback)
     wall = time.time() - t0
 
     # post-solve true-residual verification (:3316-3337)
@@ -238,9 +287,14 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
         print("#### norm(A*x-b)=", true_res, "tol=", cfg.tol)
         print("#### tol*||r0||=", cfg.tol * ref)
 
+    x_out = res.x
+    if planes:
+        xp = np.asarray(res.x)
+        x_out = jnp.asarray((xp[0] + 1j * xp[1]).astype(dtype))
+
     its = callback.it if callback.it else res.iterations
     tpi = callback.time_per_it / max(its - 1, 1)
-    return HSolverResult(x=res.x, iterations=its,
+    return HSolverResult(x=x_out, iterations=its,
                          residual_norms=res.residual_norms,
                          true_residual=true_res, converged=res.converged,
                          decomp=decomp, wall_time=wall, time_per_it=tpi)

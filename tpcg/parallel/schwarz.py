@@ -59,11 +59,17 @@ class SchwarzPrec:
     P: object
     method: str = "block_cg"
     cg_iterations: int = 256
+    cg_tol: float = 1e-5
     restricted: bool = True
     averaging: bool = True
+    planes: bool = False
     _lu: Optional[tuple] = dataclasses.field(default=None, repr=False)
+    _pair: object = dataclasses.field(default=None, repr=False)
 
     def __post_init__(self):
+        if self.planes:
+            self._init_planes()
+            return
         if self.method == "dense_lu":
             import jax.scipy.linalg as jsl
             if isinstance(self.P, Stencil2D):
@@ -74,11 +80,48 @@ class SchwarzPrec:
                 raise NotImplementedError(
                     "dense_lu needs a shared Stencil2D block")
 
+    def _init_planes(self):
+        """Two-plane float32 setup (TPU path, see tpcg/ops/cplx.py)."""
+        from ..ops.cplx import make_pair_operator
+        if isinstance(self.P, Stencil2D):
+            if self.method == "dense_lu":
+                # complex solve as a real 2n x 2n block system
+                # [[Ar, -Ai], [Ai, Ar]] [xr; xi] = [zr; zi]
+                import jax.scipy.linalg as jsl
+                dense = np.asarray(self.P.to_scipy().todense())
+                n = dense.shape[0]
+                K = np.zeros((2 * n, 2 * n), dtype=np.float32)
+                K[:n, :n] = dense.real
+                K[:n, n:] = -dense.imag
+                K[n:, :n] = dense.imag
+                K[n:, n:] = dense.real
+                lu, piv = jsl.lu_factor(jnp.asarray(K))
+                self._lu = (lu, piv)
+            else:
+                self._pair = make_pair_operator(self.P, dtype=jnp.float32)
+        else:
+            coef, offsets = self.P
+            c = np.asarray(coef)
+            coef3 = np.stack([c.real, c.imag, c.real + c.imag]) \
+                .astype(np.float32)
+            self._pair = (jnp.asarray(coef3), offsets)
+
     def _solve_shared(self, z2d: jnp.ndarray) -> jnp.ndarray:
         """z2d: (n_p, nrhs) -> X (n_p, nrhs) with the shared block."""
         if self.method == "dense_lu":
             import jax.scipy.linalg as jsl
             return jsl.lu_solve(self._lu, z2d)
+        if self.method == "numpy":
+            # host NumPy-CG subsolves per subdomain -- the reference's
+            # UseCG=5 oracle mode (p_h-PY_C-CL-multi-GPU.py:1911-1918),
+            # early-exit at CGtol like its NumPy CG.
+            from .. import reference
+            A = self.P.to_scipy()
+            z = np.asarray(z2d)
+            cols = [reference.cg_early_exit(A, z[:, i], tol=self.cg_tol,
+                                            maxit=self.cg_iterations)
+                    for i in range(z.shape[1])]
+            return jnp.asarray(np.stack(cols, axis=1).astype(z.dtype))
         res = block_cg(self.P, z2d, n_iterations=self.cg_iterations)
         return res.x
 
@@ -100,8 +143,48 @@ class SchwarzPrec:
         res = block_cg(matvec, z, n_iterations=self.cg_iterations, dot=dot)
         return res.x
 
+    # ---- two-plane path ------------------------------------------------
+    def _call_planes(self, z: jnp.ndarray) -> jnp.ndarray:
+        """z: (2, M, M, S, S) float planes."""
+        from ..ops.cplx import block_cg_planes
+
+        M, S = self.decomp.part.M, self.decomp.part.sdsz
+        n_p = S * S
+        if self.method == "dense_lu":
+            import jax.scipy.linalg as jsl
+            z2 = z.reshape(2, M * M, n_p)
+            stacked = jnp.concatenate([z2[0].T, z2[1].T], axis=0)
+            x = jsl.lu_solve(self._lu, stacked)       # (2 n_p, nsubd)
+            r = jnp.stack([x[:n_p].T, x[n_p:].T]).reshape(2, M, M, S, S)
+        elif isinstance(self._pair, tuple):
+            coef3, offsets = self._pair
+            raw = self.decomp.apply_stencil_raw
+
+            def matvec(x2d):                          # (2, n_p, nsubd)
+                xg = x2d.transpose(0, 2, 1).reshape(2, M, M, S, S)
+                m1 = raw(coef3[0], offsets, xg[0])
+                m2 = raw(coef3[1], offsets, xg[1])
+                m3 = raw(coef3[2], offsets, xg[0] + xg[1])
+                yg = jnp.stack([m1 - m2, m3 - m1 - m2])
+                return yg.reshape(2, M * M, n_p).transpose(0, 2, 1)
+
+            z2d = z.reshape(2, M * M, n_p).transpose(0, 2, 1)
+            x2d = block_cg_planes(matvec, z2d,
+                                  n_iterations=self.cg_iterations).x
+            r = x2d.transpose(0, 2, 1).reshape(2, M, M, S, S)
+        else:
+            z2d = z.reshape(2, M * M, n_p).transpose(0, 2, 1)
+            x2d = block_cg_planes(self._pair, z2d,
+                                  n_iterations=self.cg_iterations).x
+            r = x2d.transpose(0, 2, 1).reshape(2, M, M, S, S)
+        return self.decomp.ol_update_planes(
+            r, restricted=self.restricted, averaging=self.averaging)
+
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
-        """z: (M, M, S, S) -> preconditioned correction, same shape."""
+        """z: (M, M, S, S) complex -> preconditioned correction, same
+        shape (or (2, M, M, S, S) float planes when ``planes=True``)."""
+        if self.planes:
+            return self._call_planes(z)
         M, S = self.decomp.part.M, self.decomp.part.sdsz
         if isinstance(self.P, tuple):
             r = self._solve_batched_coef(z)

@@ -19,7 +19,7 @@ from typing import Callable, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from .fgmres import FGMRESResult
+from .fgmres import FGMRESResult, _as_complex, _native_lincomb
 
 
 def weighted_gmres(matvec: Callable, b, M: Optional[Callable] = None,
@@ -29,13 +29,15 @@ def weighted_gmres(matvec: Callable, b, M: Optional[Callable] = None,
                    hard_failure: bool = False,
                    no_progress_factor: float = 1.025,
                    stall_iterations: int = 10,
-                   norm=None, wdot=None,
+                   norm=None, wdot=None, lincomb=None,
                    callback: Optional[Callable] = None) -> FGMRESResult:
     if norm is None:
         norm = lambda v: jnp.sqrt(jnp.sum((jnp.conj(v) * v).real))
     if wdot is None:
         wdot = lambda V, v: jnp.sum(
             jnp.conj(V) * v, axis=tuple(range(1, V.ndim)))
+    if lincomb is None:
+        lincomb = _native_lincomb
     if restart is None:
         restart = maxiter
 
@@ -97,22 +99,21 @@ def weighted_gmres(matvec: Callable, b, M: Optional[Callable] = None,
         if M is not None:
             w = M(w)
         rp = r
-        active = jnp.asarray((arange <= orth_count).astype(np.float64))
+        active = (arange <= orth_count)
         for _ in range(2):
-            dd = wdot(Ae, w) * active
-            ddc = dd.astype(dtype)
-            w = w - jnp.tensordot(ddc, Ae, axes=(0, 0))
-            rp = rp - jnp.tensordot(ddc, e, axes=(0, 0))
+            dd = _as_complex(wdot(Ae, w)) * active
+            w = w - lincomb(dd, Ae)
+            rp = rp - lincomb(dd, e)
             d = 1.0 / float(norm(w))
             w = d * w
             rp = d * rp
         Ae = Ae.at[kk].set(w)
         e = e.at[kk].set(rp)
-        d = complex(np.asarray(wdot(w[None], r))[0])
+        d = _as_complex(wdot(w[None], r))[0]
         recalc_r = (iteration + 1) % 10 == 0
         if not recalc_r:
-            r = r - jnp.asarray(d).astype(dtype) * w
-        x = x + jnp.asarray(d).astype(dtype) * e[kk]
+            r = r - lincomb(np.array([d]), w[None])
+        x = x + lincomb(np.array([d]), e[kk][None])
         kk += 1
     if hard_failure:
         raise RuntimeError("GMRES: max iterations")

@@ -46,6 +46,9 @@ class HelmholtzConfig:
     guess: int = 1                   # 1 ones, 2 random, else zeros (:3474)
     verbose: int = 10                # (:3585)
     dtype: str = "complex64"         # device dtype (reference: csingle)
+    use_planes: bool = None          # complex-as-f32-planes compute path;
+    #                                  None = auto (on for TPU backends,
+    #                                  which cannot run complex64 here)
     seed: int = 0                    # for guess == 2
 
     @property
