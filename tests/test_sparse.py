@@ -89,3 +89,32 @@ def test_to_device_matrix_picks_dia_for_banded():
     G = sp.csr_matrix(G + sp.eye(200))
     M2 = to_device_matrix(G)
     assert isinstance(M2, EllMatrix)
+
+
+def test_rcm_reorder_recovers_banded():
+    """A permuted banded matrix must come back as DIA via RCM, and CG
+    through the public API must be transparent to the reordering."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n = 200
+    A = random_banded(n, [-3, -1, 0, 1, 3], np.float64, seed=9)
+    A = sp.csr_matrix(A + A.T + sp.eye(n) * 20)
+    p = rng.permutation(n)
+    P = sp.csr_matrix((np.ones(n), (np.arange(n), p)), shape=(n, n))
+    A_shuf = sp.csr_matrix(P @ A @ P.T)     # scrambled: not banded anymore
+    M, perm = to_device_matrix(A_shuf, reorder=True)
+    assert isinstance(M, DiaMatrix) and perm is not None
+
+    from tpcg import cg as api_cg, reference
+    b = rng.standard_normal(n)
+    x = api_cg(n, A_shuf.nnz, A_shuf.data, b, A_shuf.indptr,
+               A_shuf.indices, n_rhs=1, n_iterations=30)
+    x_ref = reference.cg(A_shuf, b, n_iterations=30)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_reorder_falls_back_to_ell_for_random():
+    A = sp.random(300, 300, density=0.05, random_state=3, format="csr")
+    A = sp.csr_matrix(A + A.T + sp.eye(300))
+    M, perm = to_device_matrix(A, reorder=True)
+    assert isinstance(M, EllMatrix) and perm is None

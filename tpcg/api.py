@@ -34,6 +34,9 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
     Returns the solution with the same packing (and the per-RHS residual
     history when ``record_history``).
     """
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
     a_values = np.asarray(a_values)
     b = np.asarray(b)
     if is_complex is None:
@@ -42,17 +45,27 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
     if a_values.dtype in (np.complex128, np.float64):
         dtype = np.complex128 if is_complex else np.float64
 
-    A = EllMatrix.from_csr_arrays(size, a_values.astype(dtype), a_pointers,
-                                  a_cols)
+    A_sci = sp.csr_matrix((a_values.astype(dtype), np.asarray(a_cols),
+                           np.asarray(a_pointers)), shape=(size, size))
+    # banded (possibly after RCM reordering) -> gather-free DIA layout;
+    # residual histories are permutation-invariant, so reordering is
+    # transparent at this boundary.
+    A, perm = to_device_matrix(A_sci, reorder=True)
     B = np.asarray(b, dtype=dtype).reshape(n_rhs, size).T      # (n, nrhs)
-    X0 = None
-    if x is not None:
-        X0 = np.asarray(x, dtype=dtype).reshape(n_rhs, size).T
-        import jax.numpy as jnp
+    X0 = np.asarray(x, dtype=dtype).reshape(n_rhs, size).T \
+        if x is not None else None
+    if perm is not None:
+        B = B[perm]
+        X0 = X0[perm] if X0 is not None else None
+    if X0 is not None:
         X0 = jnp.asarray(X0)
-    import jax.numpy as jnp
     result = block_cg(A, jnp.asarray(B), X0, n_iterations=n_iterations)
-    out = np.asarray(result.x).T.reshape(-1)                    # column-major
+    X = np.asarray(result.x)
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(size)
+        X = X[inv]
+    out = X.T.reshape(-1)                                      # column-major
     if record_history:
         return out, np.asarray(result.residual_history)
     return out

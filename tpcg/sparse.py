@@ -271,19 +271,42 @@ class Stencil2D:
         return self.to_dia().to_scipy()
 
 
-def to_device_matrix(A, max_ell_width: int = 64, prefer_dia_band: int = 4096):
+def _dia_worthwhile(A, prefer_dia_band: int) -> bool:
+    import scipy.sparse as sp
+    coo = sp.coo_matrix(A)
+    offs = np.unique(coo.col - coo.row)
+    n = A.shape[0]
+    return (len(offs) * n <= max(4 * A.nnz, 16 * n)
+            and len(offs) <= prefer_dia_band)
+
+
+def to_device_matrix(A, prefer_dia_band: int = 4096, reorder: bool = False):
     """Pick the best device container for a scipy sparse matrix.
 
     Banded matrices with a modest number of distinct diagonals become
     ``DiaMatrix`` (dense-diagonal storage is worth it when
-    ``ndiag * n`` is within ~4x of ``nnz``); everything else becomes
-    ``EllMatrix``.
+    ``ndiag * n`` is within ~4x of ``nnz``): shift-and-multiply SpMV, no
+    gathers -- the fast TPU layout.  Everything else becomes
+    ``EllMatrix`` (gather SpMV; inherently slow on TPU).
+
+    ``reorder=True`` additionally tries symmetric reverse-Cuthill-McKee
+    reordering to *make* the matrix banded (FE/mesh matrices almost
+    always are after RCM) and returns ``(container, perm)`` where perm is
+    the row/column permutation applied (``None`` if unpermuted):
+    the container represents ``A[perm][:, perm]``, so solve with
+    ``b[perm]`` and un-permute the solution.  Dot products and hence CG
+    residual histories are permutation-invariant.
     """
     import scipy.sparse as sp
     A = sp.csr_matrix(A)
-    coo = A.tocoo()
-    offs = np.unique(coo.col - coo.row)
-    n = A.shape[0]
-    if len(offs) * n <= max(4 * A.nnz, 16 * n) and len(offs) <= prefer_dia_band:
-        return DiaMatrix.from_scipy(A)
+    if _dia_worthwhile(A, prefer_dia_band):
+        M = DiaMatrix.from_scipy(A)
+        return (M, None) if reorder else M
+    if reorder:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+        Ap = A[perm][:, perm]
+        if _dia_worthwhile(Ap, prefer_dia_band):
+            return DiaMatrix.from_scipy(Ap), perm
+        return EllMatrix.from_scipy(A), None
     return EllMatrix.from_scipy(A)
