@@ -113,3 +113,17 @@ def test_float32_path_close_to_oracle():
     res = block_cg(M, jnp.asarray(b), n_iterations=10)
     assert np.asarray(res.x).dtype == np.float32
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=2e-3, atol=1e-4)
+
+
+def test_cg_solve_zero_rhs_column_does_not_poison():
+    """Breakdown guard: a zero RHS column must freeze at zero, not NaN
+    every column (regression)."""
+    A = spd_matrix(32, seed=20)
+    M = to_device_matrix(A)
+    b = np.zeros((32, 2))
+    b[:, 1] = np.random.default_rng(21).standard_normal(32)
+    x, its = cg_solve(M, jnp.asarray(b), tol=1e-10, maxit=200)
+    x = np.asarray(x)
+    assert np.all(np.isfinite(x))
+    assert np.allclose(x[:, 0], 0.0)
+    assert np.linalg.norm(A @ x[:, 1] - b[:, 1]) < 1e-8

@@ -182,3 +182,45 @@ def test_island_wave_speed():
     assert c.min() == 1.0 and c.max() == 3.0
     # middle-third square carries mult_in
     assert c[6, 6] == 3.0 and c[0, 0] == 1.0
+
+
+def test_hsolver_poisson_robin0():
+    """robin=0 must use the operator's own stencil offsets (regression:
+    the 5-point Poisson crop was paired with 7 Helmholtz offsets and JAX's
+    clamped indexing silently corrupted the preconditioner)."""
+    cfg = HelmholtzConfig(M_subd=2, W_subd=8, use_poisson=True, robin=0,
+                          use_cg=2, cg_max_it=200, tol=1e-8, restart=100,
+                          dtype="complex128", verbose=0)
+    res = hsolver(cfg)
+    assert res.converged
+    assert res.true_residual < 1e-5
+
+
+def test_hsolver_numpy_subsolves():
+    """UseCG=5 host NumPy-CG oracle mode."""
+    cfg = HelmholtzConfig(k=6.0, M_subd=2, W_subd=8, use_cg=5,
+                          cg_max_it=400, cg_tol=1e-8, tol=1e-6, restart=80,
+                          dtype="complex128", use_planes=False, verbose=0)
+    res = hsolver(cfg)
+    assert res.converged
+    assert res.true_residual < 1e-4
+
+
+def test_random_guess_is_overlap_consistent():
+    from tpcg.parallel.hsolver import generate_random_guess
+    from tpcg.parallel import Decomposition, make_partition
+    decomp = Decomposition(make_partition(3, 8, 2))
+    x = generate_random_guess(decomp, np.complex128, seed=3)
+    decomp.to_global(np.asarray(x), check=True, tol=1e-10)
+    xp = generate_random_guess(decomp, np.complex64, seed=3, planes=True)
+    xc = np.asarray(xp[0]) + 1j * np.asarray(xp[1])
+    decomp.to_global(xc, check=True, tol=1e-5)
+
+
+def test_schwarz_planes_dense_lu_tuple_rejected():
+    import pytest as _pytest
+    decomp, S, _ = setup_problem(M=2, W=6, OL=1)
+    coef = jnp.asarray(decomp.crop_stencil(np.asarray(S.coef)))
+    with _pytest.raises(NotImplementedError):
+        SchwarzPrec(decomp, (coef, S.offsets), method="dense_lu",
+                    planes=True)

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from .cg import block_cg
-from .sparse import EllMatrix, to_device_matrix
+from .sparse import to_device_matrix
 
 
 def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,

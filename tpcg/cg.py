@@ -15,11 +15,8 @@ dots are unconjugated, and why each RHS carries independent alpha/beta).
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -117,10 +114,16 @@ def cg_solve(A, b, x0=None, tol=1e-5, maxit=1000, M=None, dot: Callable = udot):
         i, x, r, p, rho_prev, _ = state
         z = prec(r)
         rho = dot(r, z)
-        beta = jnp.where(i == 0, jnp.zeros_like(rho), rho / rho_prev)
+        beta = jnp.where((i == 0) | (rho_prev == 0),
+                         jnp.zeros_like(rho),
+                         rho / jnp.where(rho_prev == 0, 1, rho_prev))
         p = z + beta * p
         q = matvec(p)
-        alpha = rho / dot(p, q)
+        pq = dot(p, q)
+        # breakdown / already-converged guard (same rationale as block_cg:
+        # a zero RHS column must freeze, not NaN-poison every column)
+        done = (rho == 0) | (pq == 0)
+        alpha = jnp.where(done, 0, rho / jnp.where(done, 1, pq))
         x = x + alpha * p
         r = r - alpha * q
         resnorm = jnp.sqrt(jnp.abs(dot(r, r)))

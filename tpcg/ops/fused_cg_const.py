@@ -25,8 +25,6 @@ buffer).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ import dataclasses
 from typing import Callable, List, Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 
@@ -124,7 +123,7 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
     VV = jnp.zeros((K + 1,) + shape, dtype)
     MV = jnp.zeros((K + 1,) + shape, dtype)
 
-    beta = float(norm(r))
+    beta = norm_b
     VV = VV.at[0].set(r / beta)
 
     H = np.zeros((K + 1, K), dtype=np.complex128)

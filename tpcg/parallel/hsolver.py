@@ -30,7 +30,7 @@ from ..problems.helmholtz import helm_fe, helm_fe_var, local_rect
 from ..problems.poisson import poisson
 from ..problems.rhs import plane_wave_rhs
 from ..utils.config import HelmholtzConfig
-from .fgmres import fgmres, FGMRESResult
+from .fgmres import fgmres
 from .halo import Decomposition
 from .partition import make_partition
 from .schwarz import SchwarzPrec
@@ -123,7 +123,7 @@ def build_operator(cfg: HelmholtzConfig, decomp: Decomposition):
 
 
 def build_preconditioner(cfg: HelmholtzConfig, decomp: Decomposition,
-                         coef_global=None):
+                         coef_global=None, offsets_global=None):
     """The ORAS subdomain blocks (``as_prec`` first-call setup,
     ``p_h-PY_C-CL-multi-GPU.py:1848-1906``)."""
     N, S = decomp.part.N, decomp.part.sdsz
@@ -152,11 +152,10 @@ def build_preconditioner(cfg: HelmholtzConfig, decomp: Decomposition,
     # differs from the operator's, the reference assembles a separate fine
     # matrix A_eps with eps_prec1 and crops that instead
     # (p_h-PY_C-CL-multi-GPU.py:1882-1906); same here.
-    from ..problems.helmholtz import OFFSETS
     if cfg.use_poisson or abs(cfg.eps1 - cfg.epsilon) < 1e-30:
-        if coef_global is None:
-            raise ValueError("robin=0 needs the cropped global coefficients")
-        return (jnp.asarray(coef_global), OFFSETS)
+        if coef_global is None or offsets_global is None:
+            raise ValueError("robin=0 needs the cropped global operator")
+        return (jnp.asarray(coef_global), offsets_global)
     if cfg.var_coeff:
         C = island_wave_speed(N, cfg.M_subd, cfg.mar_mult_in,
                               cfg.mar_mult_out, cfg.mar_match,
@@ -165,7 +164,7 @@ def build_preconditioner(cfg: HelmholtzConfig, decomp: Decomposition,
     else:
         A_eps = helm_fe(N, cfg.k, cfg.eps1)
     return (jnp.asarray(decomp.crop_stencil(np.asarray(A_eps.coef))),
-            OFFSETS)
+            A_eps.offsets)
 
 
 def _np_dtype(cfg: HelmholtzConfig):
@@ -186,9 +185,9 @@ def generate_random_guess(decomp: Decomposition, dtype, seed=0,
     if planes:
         fdt = np.float32 if dtype == np.complex64 else np.float64
         xp = jnp.asarray(np.stack([x.real, x.imag]).astype(fdt))
-        return decomp.ol_update_planes(xp, restricted=False, averaging=True)
+        return decomp.ol_update_planes(xp, restricted=True, averaging=True)
     x = jnp.asarray(x.astype(dtype))
-    return decomp.ol_update(x, restricted=False, averaging=True)
+    return decomp.ol_update(x, restricted=True, averaging=True)
 
 
 def hsolver(cfg: HelmholtzConfig, mesh=None,
@@ -237,7 +236,7 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
 
     prec = None
     if cfg.as_prec == 1:
-        P_block = build_preconditioner(cfg, decomp, coef_np)
+        P_block = build_preconditioner(cfg, decomp, coef_np, offsets)
         method = {0: "dense_lu", 1: "block_cg", 2: "block_cg",
                   5: "numpy", 6: "block_cg"}.get(cfg.use_cg, "block_cg")
         if method == "numpy" and planes:

@@ -32,7 +32,7 @@ coefficient crop as ``P``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -100,6 +100,9 @@ class SchwarzPrec:
             else:
                 self._pair = make_pair_operator(self.P, dtype=jnp.float32)
         else:
+            if self.method == "dense_lu":
+                raise NotImplementedError(
+                    "dense_lu needs a shared Stencil2D block")
             coef, offsets = self.P
             c = np.asarray(coef)
             coef3 = np.stack([c.real, c.imag, c.real + c.imag]) \
@@ -128,14 +131,10 @@ class SchwarzPrec:
     def _solve_batched_coef(self, z: jnp.ndarray) -> jnp.ndarray:
         """Per-subdomain stencil coefficients (VarCoeff path): fixed-
         iteration CG where the matvec applies each subdomain's own block."""
-        from ..sparse import _shift2d
         coef, offsets = self.P  # (noff, M, M, S, S), offsets tuple
 
         def matvec(x):
-            y = coef[0] * _shift2d(x, *offsets[0])
-            for s in range(1, len(offsets)):
-                y = y + coef[s] * _shift2d(x, *offsets[s])
-            return y
+            return Decomposition.apply_stencil_raw(coef, offsets, x)
 
         def dot(a, b):
             return jnp.sum(a * b, axis=(-2, -1))[..., None, None]

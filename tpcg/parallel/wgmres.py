@@ -26,7 +26,7 @@ def weighted_gmres(matvec: Callable, b, M: Optional[Callable] = None,
                    x0=None, tol: float = 1e-6, maxiter: int = 200,
                    restart: Optional[int] = None,
                    require_monotonicity: bool = True,
-                   hard_failure: bool = False,
+                   hard_failure: bool = True,
                    no_progress_factor: float = 1.025,
                    stall_iterations: int = 10,
                    norm=None, wdot=None, lincomb=None,
@@ -80,17 +80,23 @@ def weighted_gmres(matvec: Callable, b, M: Optional[Callable] = None,
         if norm_r < tol * norm_b:
             return FGMRESResult(x, iteration, residual_norms, True)
         if last is not None:
-            if norm_r > 1.25 * last:
-                if require_monotonicity:
-                    if hard_failure:
-                        raise RuntimeError("GMRES: non-monotonic residuals")
+            # the reference's "hard" mode only prints and keeps iterating
+            # (its raise statements are commented out, :3206-3240); the
+            # soft mode returns early with the current iterate.
+            if norm_r > 1.25 * last and require_monotonicity:
+                if hard_failure:
+                    print("*** WARNING: non-monotonic residuals in GMRES")
+                else:
                     return FGMRESResult(x, iteration, residual_norms, False)
             if stall_iterations and norm_r > last / no_progress_factor:
                 stall += 1
                 if stall >= stall_iterations:
                     if hard_failure:
-                        raise RuntimeError("GMRES: stalled")
-                    return FGMRESResult(x, iteration, residual_norms, False)
+                        print("*** WARNING: GMRES stalled")
+                        stall = 0
+                    else:
+                        return FGMRESResult(x, iteration, residual_norms,
+                                            False)
             else:
                 stall = 0
         last = norm_r
@@ -115,6 +121,4 @@ def weighted_gmres(matvec: Callable, b, M: Optional[Callable] = None,
             r = r - lincomb(np.array([d]), w[None])
         x = x + lincomb(np.array([d]), e[kk][None])
         kk += 1
-    if hard_failure:
-        raise RuntimeError("GMRES: max iterations")
     return FGMRESResult(x, maxiter, residual_norms, False)

@@ -120,15 +120,16 @@ class DiaMatrix:
     @staticmethod
     def from_scipy(A, dtype=None) -> "DiaMatrix":
         """Convert any scipy sparse matrix whose nonzeros lie on a small set
-        of diagonals."""
+        of diagonals (vectorized scatter -- this is the default Matrix
+        Market ingestion path, so it must handle 10M+ nnz quickly)."""
         import scipy.sparse as sp
         A = sp.coo_matrix(A)
         n = A.shape[0]
-        offs = np.unique(A.col - A.row)
+        d = A.col - A.row
+        offs = np.unique(d)
         data = np.zeros((len(offs), n), dtype=dtype or A.dtype)
-        dmap = {int(o): d for d, o in enumerate(offs)}
-        for r, c, v in zip(A.row, A.col, A.data):
-            data[dmap[int(c - r)], r] += v
+        d_idx = np.searchsorted(offs, d)
+        np.add.at(data, (d_idx, A.row), A.data)
         return DiaMatrix(tuple(int(o) for o in offs), jnp.asarray(data), n)
 
 
@@ -170,32 +171,26 @@ class EllMatrix:
     def from_scipy(A, dtype=None) -> "EllMatrix":
         import scipy.sparse as sp
         A = sp.csr_matrix(A)
-        n = A.shape[0]
-        deg = np.diff(A.indptr)
-        L = max(int(deg.max()), 1)
-        cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, L))
-        vals = np.zeros((n, L), dtype=dtype or A.dtype)
-        for i in range(n):
-            s, e = A.indptr[i], A.indptr[i + 1]
-            cols[i, : e - s] = A.indices[s:e]
-            vals[i, : e - s] = A.data[s:e]
-        return EllMatrix(jnp.asarray(cols), jnp.asarray(vals), n)
+        return EllMatrix.from_csr_arrays(A.shape[0], A.data, A.indptr,
+                                         A.indices, dtype=dtype)
 
     @staticmethod
     def from_csr_arrays(n, a_values, a_pointers, a_cols, dtype=None) -> "EllMatrix":
         """Build from raw CSR arrays -- the ``clcg::cg`` input surface
-        (reference ``clcg.h:3-5``)."""
+        (reference ``clcg.h:3-5``).  Vectorized scatter into the padded
+        (n, L) layout."""
         a_pointers = np.asarray(a_pointers)
         a_cols = np.asarray(a_cols)
         a_values = np.asarray(a_values)
         deg = np.diff(a_pointers)
         L = max(int(deg.max()), 1)
+        nnz = len(a_values)
+        rows = np.repeat(np.arange(n), deg)
+        lane = np.arange(nnz) - np.repeat(a_pointers[:-1], deg)
         cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, L))
         vals = np.zeros((n, L), dtype=dtype or a_values.dtype)
-        for i in range(n):
-            s, e = a_pointers[i], a_pointers[i + 1]
-            cols[i, : e - s] = a_cols[s:e]
-            vals[i, : e - s] = a_values[s:e]
+        cols[rows, lane] = a_cols
+        vals[rows, lane] = a_values
         return EllMatrix(jnp.asarray(cols), jnp.asarray(vals), n)
 
 
