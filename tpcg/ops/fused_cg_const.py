@@ -97,12 +97,20 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
         x0 = np.asarray(x0).reshape(-1, nv, nh)
         x0p = jnp.asarray(np.stack([x0.real, x0.imag]).astype(dtype))
 
-    # strip corrections as float planes shaped for broadcast against the
-    # dim-preserving slices: rows (3, noff, 1, Nh), cols (3, noff, Nv-2, 1)
+    # Row corrections as (3, noff, 1, Nh) broadcastable strips (lane-wide
+    # ops).  Column corrections as one-hot *edge blocks* of lane width
+    # W=min(nh,128): a width-1 column op is ~100x lane-inefficient on the
+    # VPU, so we spend a 128-wide masked block instead -- the field is
+    # nonzero only in the true boundary column.
+    W = min(nh, 128)
     sb = jnp.asarray(_planes3(strips["bot"], dtype)[:, :, None, :])
     st = jnp.asarray(_planes3(strips["top"], dtype)[:, :, None, :])
-    sl = jnp.asarray(_planes3(strips["left"], dtype)[:, :, :, None])
-    sr = jnp.asarray(_planes3(strips["right"], dtype)[:, :, :, None])
+    slf = np.zeros((3, len(offsets), nv - 2, W), dtype)
+    slf[:, :, :, 0] = _planes3(strips["left"], dtype)
+    srf = np.zeros((3, len(offsets), nv - 2, W), dtype)
+    srf[:, :, :, W - 1] = _planes3(strips["right"], dtype)
+    sl = jnp.asarray(slf)
+    sr = jnp.asarray(srf)
     # interior scalar taps baked in as python floats (no memory at all)
     cr = tuple(float(v) for v in consts.real)
     ci = tuple(float(v) for v in consts.imag)
@@ -127,10 +135,10 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
         row_bot_i = jnp.zeros((nb, 1, nh), dtype)
         row_top_r = jnp.zeros((nb, 1, nh), dtype)
         row_top_i = jnp.zeros((nb, 1, nh), dtype)
-        col_l_r = jnp.zeros((nb, nv - 2, 1), dtype)
-        col_l_i = jnp.zeros((nb, nv - 2, 1), dtype)
-        col_r_r = jnp.zeros((nb, nv - 2, 1), dtype)
-        col_r_i = jnp.zeros((nb, nv - 2, 1), dtype)
+        col_l_r = jnp.zeros((nb, nv - 2, W), dtype)
+        col_l_i = jnp.zeros((nb, nv - 2, W), dtype)
+        col_r_r = jnp.zeros((nb, nv - 2, W), dtype)
+        col_r_i = jnp.zeros((nb, nv - 2, W), dtype)
         for s, (dm, dj) in enumerate(offsets):
             # row m=0 taps d[dm, j+dj]; row m=nv-1 taps d[nv-1+dm, j+dj]
             xb_r = dr_pad[:, P + dm:P + dm + 1, P + dj:P + dj + nh]
@@ -145,15 +153,16 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
             ar, ai = st_ref[0, s], st_ref[1, s]
             row_top_r += ar * xt_r - ai * xt_i
             row_top_i += ar * xt_i + ai * xt_r
-            # col j=0 rows 1..nv-2 tap d[m+dm, dj]; col j=nh-1 similar
+            # col j=0 rows 1..nv-2 tap d[m+dm, dj] (one-hot in the W-wide
+            # edge window); col j=nh-1 taps the right-edge window
             xl_r = dr_pad[:, P + 1 + dm:P + nv - 1 + dm,
-                          P + dj:P + dj + 1]
+                          P + dj:P + dj + W]
             xl_i = di_pad[:, P + 1 + dm:P + nv - 1 + dm,
-                          P + dj:P + dj + 1]
+                          P + dj:P + dj + W]
             xr_r = dr_pad[:, P + 1 + dm:P + nv - 1 + dm,
-                          P + nh - 1 + dj:P + nh + dj]
+                          P + nh - W + dj:P + nh + dj]
             xr_i = di_pad[:, P + 1 + dm:P + nv - 1 + dm,
-                          P + nh - 1 + dj:P + nh + dj]
+                          P + nh - W + dj:P + nh + dj]
             ar, ai = sl_ref[0, s], sl_ref[1, s]
             col_l_r += ar * xl_r - ai * xl_i
             col_l_i += ar * xl_i + ai * xl_r
@@ -168,11 +177,11 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
         qi_s[:, 0:1, :] = qi_s[:, 0:1, :] + row_bot_i
         qr_s[:, nv - 1:nv, :] = qr_s[:, nv - 1:nv, :] + row_top_r
         qi_s[:, nv - 1:nv, :] = qi_s[:, nv - 1:nv, :] + row_top_i
-        qr_s[:, 1:nv - 1, 0:1] = qr_s[:, 1:nv - 1, 0:1] + col_l_r
-        qi_s[:, 1:nv - 1, 0:1] = qi_s[:, 1:nv - 1, 0:1] + col_l_i
-        qr_s[:, 1:nv - 1, nh - 1:nh] = qr_s[:, 1:nv - 1, nh - 1:nh] \
+        qr_s[:, 1:nv - 1, 0:W] = qr_s[:, 1:nv - 1, 0:W] + col_l_r
+        qi_s[:, 1:nv - 1, 0:W] = qi_s[:, 1:nv - 1, 0:W] + col_l_i
+        qr_s[:, 1:nv - 1, nh - W:nh] = qr_s[:, 1:nv - 1, nh - W:nh] \
             + col_r_r
-        qi_s[:, 1:nv - 1, nh - 1:nh] = qi_s[:, 1:nv - 1, nh - 1:nh] \
+        qi_s[:, 1:nv - 1, nh - W:nh] = qi_s[:, 1:nv - 1, nh - W:nh] \
             + col_r_i
         return qr_s[...], qi_s[...]
 

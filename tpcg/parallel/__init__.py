@@ -5,3 +5,4 @@ from .fgmres import fgmres, FGMRESResult                                  # noqa
 from .wgmres import weighted_gmres                                        # noqa: F401
 from .hsolver import (hsolver, HSolverResult, Counter,                    # noqa: F401
                       island_wave_speed, generate_random_guess)
+from .dist_cg import distributed_cg, distributed_cg_planes            # noqa: F401
