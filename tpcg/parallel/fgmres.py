@@ -71,6 +71,16 @@ def planes_lincomb(coeffs: np.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
     """Complex linear combination of a two-plane basis (K, 2, ...)."""
     cr = jnp.asarray(coeffs.real.astype(basis.dtype))
     ci = jnp.asarray(coeffs.imag.astype(basis.dtype))
+    return _lincomb_dev_planes(jnp.stack([cr, ci]), basis)
+
+
+def _lincomb_dev_native(c: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    return jnp.tensordot(c.astype(basis.dtype), basis, axes=(0, 0))
+
+
+def _lincomb_dev_planes(cp: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    """Device-side complex lincomb: cp (2, K) planes, basis (K, 2, ...)."""
+    cr, ci = cp[0], cp[1]
     vr, vi = basis[:, 0], basis[:, 1]
     return jnp.stack([jnp.tensordot(cr, vr, (0, 0))
                       - jnp.tensordot(ci, vi, (0, 0)),
@@ -80,7 +90,7 @@ def planes_lincomb(coeffs: np.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
 
 def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
            tol: float = 1e-6, krylsize: int = 100, norm=None, wdot=None,
-           lincomb=None,
+           lincomb=None, planes: Optional[bool] = None,
            callback: Optional[Callable] = None) -> FGMRESResult:
     """Solve ``A x = b`` with one FGMRES cycle of up to ``krylsize`` steps.
 
@@ -133,25 +143,44 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
     s[0] = beta
 
     kmask = np.arange(K + 1)
+    # two-plane layout detection (leading size-2 float axis); pass
+    # ``planes`` explicitly for float vectors that are not planes.
+    planes_mode = planes if planes is not None else (
+        len(shape) > 0 and shape[0] == 2 and not jnp.iscomplexobj(b))
+    lincomb_dev = _lincomb_dev_planes if planes_mode else _lincomb_dev_native
+
+    import jax
+
+    @jax.jit
+    def arnoldi_tail(VV, MV, v, kk, active):
+        """Everything after the preconditioner, fused into one device
+        program: matvec, two-pass CGS, subdiagonal norm, basis update.
+        One host sync per iteration (the (hcol, h_sub) fetch) instead of
+        three -- on the tunneled TPU each sync costs ~30 ms."""
+        MV = MV.at[kk].set(v)
+        pp = matvec(v)
+        d1 = wdot(VV, pp) * active
+        pp = pp - lincomb_dev(d1, VV)
+        d2 = wdot(VV, pp) * active
+        pp = pp - lincomb_dev(d2, VV)
+        h_sub = norm(pp)
+        VV = VV.at[kk + 1].set(pp / h_sub.astype(pp.dtype))
+        return VV, MV, d1 + d2, h_sub
 
     converged = False
     kk = 0
     for kk in range(K):
         z = VV[kk]
         v = M(z)
-        MV = MV.at[kk].set(v)
-        pp = matvec(v)
-
         # two-pass classical Gram-Schmidt against the active basis
         # (:2977-2984); padded columns are zero and contribute nothing.
-        hcol = np.zeros(K + 1, dtype=np.complex128)
-        active = (kmask <= kk)
-        for _ in range(2):
-            dots = _as_complex(wdot(VV, pp)) * active
-            pp = pp - lincomb(dots, VV)
-            hcol += dots
-        h_sub = float(norm(pp))
-        VV = VV.at[kk + 1].set(pp / h_sub)
+        active = jnp.asarray((kmask <= kk).astype(np.float32
+                                                  if planes_mode
+                                                  else np.float64))
+        VV, MV, hcol_dev, h_sub_dev = arnoldi_tail(
+            VV, MV, v, jnp.asarray(kk), active)
+        hcol = _as_complex(hcol_dev)
+        h_sub = float(h_sub_dev)
         H[: kk + 1, kk] = hcol[: kk + 1]
 
         # apply previous rotations to the new column (:2999-3003)

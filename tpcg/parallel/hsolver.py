@@ -272,7 +272,7 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
     else:
         res = fgmres(matvec, b, M=prec, x0=x0, tol=cfg.tol,
                      krylsize=cfg.restart, norm=norm, wdot=wdot,
-                     lincomb=lincomb, callback=callback)
+                     lincomb=lincomb, planes=planes, callback=callback)
     wall = time.time() - t0
 
     # post-solve true-residual verification (:3316-3337)
