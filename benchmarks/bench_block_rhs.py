@@ -43,11 +43,14 @@ def main():
         bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
         x0 = jnp.zeros_like(bp)
 
-        # fused VMEM kernel while the state fits on-chip (~nb<=4 at
-        # N=128); XLA streaming planes path beyond -- the reference hits
-        # a hard CL_OUT_OF_RESOURCES wall instead (report SV).
+        # fused VMEM kernel at small batch (latency-bound regime); the
+        # XLA streaming planes path wins from nb~8 up and has no capacity
+        # wall -- the reference hits a hard CL_OUT_OF_RESOURCES cap at
+        # b=47 instead (report SV).
         path = "fused-vmem"
         try:
+            if nb >= 8:
+                raise RuntimeError("streaming path preferred")
             fn = jax.jit(lambda c, b, x: fused_cg_stencil(
                 A.offsets, c, b, x, iters)[1][-1])
             rn = np.asarray(fn(coef3, bp, x0))      # compile + warm

@@ -83,7 +83,7 @@ def _cg_scalar_step(it, deltas, nb, qr, qi, read_d, write_d, xr, xi,
         ri[r] = new_ri
         dn_r = jnp.sum(new_rr * new_rr - new_ri * new_ri)
         dn_i = 2.0 * jnp.sum(new_rr * new_ri)
-        hist_ref[r, pl.ds(it + 1, 1), 0:1] = jnp.full(
+        hist_ref[pl.ds(it + 1, 1), r:r + 1] = jnp.full(
             (1, 1), jnp.sqrt(jnp.sqrt(dn_r * dn_r + dn_i * dn_i)))
         be_r, be_i = _cdiv_scalar(dn_r, dn_i,
                                   jnp.where(done, 1.0, delta_r),
@@ -109,7 +109,7 @@ def _init_state(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
     for r in range(nb):
         d0r = jnp.sum(rr[r] * rr[r] - ri[r] * ri[r])
         d0i = 2.0 * jnp.sum(rr[r] * ri[r])
-        hist_ref[r, 0:1, 0:1] = jnp.full(
+        hist_ref[0:1, r:r + 1] = jnp.full(
             (1, 1), jnp.sqrt(jnp.sqrt(d0r * d0r + d0i * d0i)))
         deltas += [d0r, d0i]
     return tuple(deltas)
@@ -183,10 +183,11 @@ def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
 
     out_shapes = (
         jax.ShapeDtypeStruct((2, nb, nv, nh), dt),
-        # (nb, iters+1, 1): per-RHS scalar (1, 1) stores with the dynamic
-        # iteration index on the sublane dim -- no small-vector reshapes
-        # (Mosaic aborts on those); transposed below.
-        jax.ShapeDtypeStruct((nb, n_iterations + 1, 1), dt),
+        # (iters+1, nb): per-RHS scalar (1, 1) stores, dynamic iteration
+        # index on the sublane dim, static lane index per RHS.  One shared
+        # buffer (nb <= 128 lanes) -- a per-RHS lane-padded layout would
+        # burn 2.5 MB of VMEM per RHS.
+        jax.ShapeDtypeStruct((n_iterations + 1, nb), dt),
     )
     x, hist = pl.pallas_call(
         kernel,
@@ -202,9 +203,11 @@ def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
             pltpu.VMEM((nb, pv, ph), dt),    # d_pad re
             pltpu.VMEM((nb, pv, ph), dt),    # d_pad im
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coef3, b, x0)
-    return x, hist[:, :, 0].T
+    return x, hist
 
 
 def prepare_coef3(stencil, dtype=np.float32) -> jnp.ndarray:

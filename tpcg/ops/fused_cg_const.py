@@ -217,7 +217,7 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
 
     out_shapes = (
         jax.ShapeDtypeStruct((2, nb, nv, nh), dtype),
-        jax.ShapeDtypeStruct((nb, n_iterations + 1, 1), dtype),
+        jax.ShapeDtypeStruct((n_iterations + 1, nb), dtype),
     )
     x, hist = pl.pallas_call(
         kernel,
@@ -235,6 +235,8 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
             pltpu.VMEM((nb, nv, nh), dtype),    # q staging (re)
             pltpu.VMEM((nb, nv, nh), dtype),    # q staging (im)
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(sb, st, sl, sr, bp, x0p)
-    return x, hist[:, :, 0].T
+    return x, hist
