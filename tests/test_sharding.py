@@ -65,3 +65,17 @@ def test_hsolver_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(res_sharded.x),
                                np.asarray(res_single.x),
                                rtol=1e-8, atol=1e-8)
+
+
+def test_hsolver_sharded_planes_matches_unsharded():
+    """The TPU configuration (two-plane f32) sharded over 8 devices."""
+    cfg = HelmholtzConfig(k=5.0, M_subd=8, W_subd=4, OL=1, use_cg=2,
+                          cg_max_it=150, tol=1e-6, restart=60,
+                          dtype="complex64", use_planes=True, verbose=0)
+    res_single = hsolver(cfg)
+    res_sharded = hsolver(cfg, mesh=make_mesh())
+    assert res_sharded.converged
+    assert res_sharded.iterations == res_single.iterations
+    np.testing.assert_allclose(np.asarray(res_sharded.x),
+                               np.asarray(res_single.x),
+                               rtol=1e-5, atol=1e-5)

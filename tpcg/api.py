@@ -36,6 +36,7 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
     """
     import jax.numpy as jnp
     import scipy.sparse as sp
+    from jax import default_backend as jax_default_backend
 
     a_values = np.asarray(a_values)
     b = np.asarray(b)
@@ -57,17 +58,32 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
     if perm is not None:
         B = B[perm]
         X0 = X0[perm] if X0 is not None else None
-    if X0 is not None:
-        X0 = jnp.asarray(X0)
-    result = block_cg(A, jnp.asarray(B), X0, n_iterations=n_iterations)
-    X = np.asarray(result.x)
+    if is_complex and jax_default_backend() != "cpu":
+        # TPU backends here cannot execute complex64 programs; run the
+        # numerically-identical two-plane float path (tpcg/ops/cplx.py).
+        from .ops.cplx import (block_cg_planes, from_planes,
+                               make_pair_operator, to_planes)
+        fdt = jnp.float32 if dtype == np.complex64 else jnp.float64
+        Pop = make_pair_operator(A, dtype=fdt)
+        res = block_cg_planes(Pop, to_planes(B, fdt),
+                              to_planes(X0, fdt) if X0 is not None else None,
+                              n_iterations=n_iterations)
+        X = from_planes(np.asarray(res.x)).astype(dtype)
+        history = np.asarray(res.residual_history)
+    else:
+        if X0 is not None:
+            X0 = jnp.asarray(X0)
+        result = block_cg(A, jnp.asarray(B), X0,
+                          n_iterations=n_iterations)
+        X = np.asarray(result.x)
+        history = np.asarray(result.residual_history)
     if perm is not None:
         inv = np.empty_like(perm)
         inv[perm] = np.arange(size)
         X = X[inv]
     out = X.T.reshape(-1)                                      # column-major
     if record_history:
-        return out, np.asarray(result.residual_history)
+        return out, history
     return out
 
 

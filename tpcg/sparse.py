@@ -130,7 +130,9 @@ class DiaMatrix:
         data = np.zeros((len(offs), n), dtype=dtype or A.dtype)
         d_idx = np.searchsorted(offs, d)
         np.add.at(data, (d_idx, A.row), A.data)
-        return DiaMatrix(tuple(int(o) for o in offs), jnp.asarray(data), n)
+        # data stays host-side (numpy): device upload happens on first use,
+        # and the TPU complex path must split planes *before* upload
+        return DiaMatrix(tuple(int(o) for o in offs), data, n)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -191,7 +193,8 @@ class EllMatrix:
         vals = np.zeros((n, L), dtype=dtype or a_values.dtype)
         cols[rows, lane] = a_cols
         vals[rows, lane] = a_values
-        return EllMatrix(jnp.asarray(cols), jnp.asarray(vals), n)
+        # host-side arrays; see DiaMatrix.from_scipy
+        return EllMatrix(cols, vals, n)
 
 
 @partial(jax.tree_util.register_dataclass,
