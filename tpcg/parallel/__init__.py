@@ -6,3 +6,4 @@ from .wgmres import weighted_gmres                                        # noqa
 from .hsolver import (hsolver, HSolverResult, Counter,                    # noqa: F401
                       island_wave_speed, generate_random_guess)
 from .dist_cg import distributed_cg, distributed_cg_planes            # noqa: F401
+from .varsize import VarsizeDecomposition, varsize_hsolver                # noqa: F401

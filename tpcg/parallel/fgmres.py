@@ -91,6 +91,7 @@ def _lincomb_dev_planes(cp: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
 def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
            tol: float = 1e-6, krylsize: int = 100, norm=None, wdot=None,
            lincomb=None, planes: Optional[bool] = None,
+           jit_tail: bool = True,
            callback: Optional[Callable] = None) -> FGMRESResult:
     """Solve ``A x = b`` with one FGMRES cycle of up to ``krylsize`` steps.
 
@@ -151,7 +152,6 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
 
     import jax
 
-    @jax.jit
     def arnoldi_tail(VV, MV, v, kk, active):
         """Everything after the preconditioner, fused into one device
         program: matvec, two-pass CGS, subdiagonal norm, basis update.
@@ -163,9 +163,14 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         pp = pp - lincomb_dev(d1, VV)
         d2 = wdot(VV, pp) * active
         pp = pp - lincomb_dev(d2, VV)
-        h_sub = norm(pp)
+        h_sub = jnp.asarray(norm(pp))
         VV = VV.at[kk + 1].set(pp / h_sub.astype(pp.dtype))
-        return VV, MV, d1 + d2, h_sub
+        return VV, MV, jnp.asarray(d1) + jnp.asarray(d2), h_sub
+
+    if jit_tail:
+        # pass jit_tail=False for host-side (non-traceable) operators,
+        # e.g. the variable-size decomposition's numpy implementation.
+        arnoldi_tail = jax.jit(arnoldi_tail)
 
     converged = False
     kk = 0
