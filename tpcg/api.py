@@ -89,19 +89,35 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
 
 def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
     """Convenience wrapper: scipy matrix / device container in, same
-    column-major packing semantics as ``cg``."""
+    column-major packing semantics (and TPU complex-planes fallback) as
+    ``cg``."""
     import scipy.sparse as sp
     import jax.numpy as jnp
+    from jax import default_backend
 
     if sp.issparse(A):
         A = to_device_matrix(A)
     n = A.shape[0]
     b = np.asarray(b)
     n_rhs = n_rhs or (b.size // n)
-    B = jnp.asarray(b.reshape(n_rhs, n).T)
-    X0 = jnp.asarray(np.asarray(x).reshape(n_rhs, n).T) if x is not None else None
-    result = block_cg(A, B, X0, n_iterations=n_iterations)
-    out = np.asarray(result.x).T.reshape(-1)
+    B = b.reshape(n_rhs, n).T
+    X0 = np.asarray(x).reshape(n_rhs, n).T if x is not None else None
+    if np.iscomplexobj(B) and default_backend() != "cpu":
+        from .ops.cplx import (block_cg_planes, from_planes,
+                               make_pair_operator, to_planes)
+        fdt = jnp.float32 if B.dtype == np.complex64 else jnp.float64
+        Pop = make_pair_operator(A, dtype=fdt)
+        res = block_cg_planes(Pop, to_planes(B, fdt),
+                              to_planes(X0, fdt) if X0 is not None else None,
+                              n_iterations=n_iterations)
+        out = from_planes(np.asarray(res.x)).astype(B.dtype).T.reshape(-1)
+        history = np.asarray(res.residual_history)
+    else:
+        result = block_cg(A, jnp.asarray(B),
+                          jnp.asarray(X0) if X0 is not None else None,
+                          n_iterations=n_iterations)
+        out = np.asarray(result.x).T.reshape(-1)
+        history = np.asarray(result.residual_history)
     if record_history:
-        return out, np.asarray(result.residual_history)
+        return out, history
     return out
