@@ -47,16 +47,19 @@ def main():
         # XLA streaming planes path wins from nb~8 up and has no capacity
         # wall -- the reference hits a hard CL_OUT_OF_RESOURCES cap at
         # b=47 instead (report SV).
-        path = "fused-vmem"
-        try:
-            if nb >= 8:
-                raise RuntimeError("streaming path preferred")
-            fn = jax.jit(lambda c, b, x: fused_cg_stencil(
-                A.offsets, c, b, x, iters)[1][-1])
-            rn = np.asarray(fn(coef3, bp, x0))      # compile + warm
-            assert np.all(np.isfinite(rn)), (nb, rn)
-            run = lambda: np.asarray(fn(coef3, bp, x0))
-        except Exception:
+        run = None
+        if nb < 8:
+            path = "fused-vmem"
+            try:
+                fn = jax.jit(lambda c, b, x: fused_cg_stencil(
+                    A.offsets, c, b, x, iters)[1][-1])
+                rn = np.asarray(fn(coef3, bp, x0))  # compile + warm
+                assert np.all(np.isfinite(rn)), (nb, rn)
+                run = lambda: np.asarray(fn(coef3, bp, x0))
+            except Exception as e:                  # capacity/compile
+                print(f"# fused path failed at nb={nb}: "
+                      f"{str(e)[:120]}", flush=True)
+        if run is None:
             path = "xla-stream"
             b2 = bp.reshape(2, nb, n).transpose(0, 2, 1)
             fn2 = jax.jit(lambda b: block_cg_planes(

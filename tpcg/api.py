@@ -21,6 +21,30 @@ from .cg import block_cg
 from .sparse import to_device_matrix
 
 
+def _solve_planes(A, B, X0, n_iterations):
+    """Two-plane float solve of a complex system (TPU backends here
+    cannot execute complex64 programs; see tpcg/ops/cplx.py).  complex128
+    inputs degrade to float32 planes unless x64 is enabled."""
+    import warnings
+    import jax
+    import jax.numpy as jnp
+    from .ops.cplx import (block_cg_planes, from_planes,
+                           make_pair_operator, to_planes)
+
+    dtype = np.asarray(B).dtype
+    fdt = jnp.float32 if dtype == np.complex64 else jnp.float64
+    if dtype == np.complex128 and not jax.config.jax_enable_x64:
+        warnings.warn(
+            "complex128 solve on a non-CPU backend runs in float32 planes "
+            "(enable jax x64 for double precision)", stacklevel=3)
+    Pop = make_pair_operator(A, dtype=fdt)
+    res = block_cg_planes(Pop, to_planes(B, fdt),
+                          to_planes(X0, fdt) if X0 is not None else None,
+                          n_iterations=n_iterations)
+    X = from_planes(np.asarray(res.x)).astype(dtype)
+    return X, np.asarray(res.residual_history)
+
+
 def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
        n_rhs: int = 1, n_iterations: int = 10, is_complex=None,
        record_history: bool = False):
@@ -59,17 +83,7 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
         B = B[perm]
         X0 = X0[perm] if X0 is not None else None
     if is_complex and jax_default_backend() != "cpu":
-        # TPU backends here cannot execute complex64 programs; run the
-        # numerically-identical two-plane float path (tpcg/ops/cplx.py).
-        from .ops.cplx import (block_cg_planes, from_planes,
-                               make_pair_operator, to_planes)
-        fdt = jnp.float32 if dtype == np.complex64 else jnp.float64
-        Pop = make_pair_operator(A, dtype=fdt)
-        res = block_cg_planes(Pop, to_planes(B, fdt),
-                              to_planes(X0, fdt) if X0 is not None else None,
-                              n_iterations=n_iterations)
-        X = from_planes(np.asarray(res.x)).astype(dtype)
-        history = np.asarray(res.residual_history)
+        X, history = _solve_planes(A, B, X0, n_iterations)
     else:
         if X0 is not None:
             X0 = jnp.asarray(X0)
@@ -102,16 +116,15 @@ def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
     n_rhs = n_rhs or (b.size // n)
     B = b.reshape(n_rhs, n).T
     X0 = np.asarray(x).reshape(n_rhs, n).T if x is not None else None
-    if np.iscomplexobj(B) and default_backend() != "cpu":
-        from .ops.cplx import (block_cg_planes, from_planes,
-                               make_pair_operator, to_planes)
-        fdt = jnp.float32 if B.dtype == np.complex64 else jnp.float64
-        Pop = make_pair_operator(A, dtype=fdt)
-        res = block_cg_planes(Pop, to_planes(B, fdt),
-                              to_planes(X0, fdt) if X0 is not None else None,
-                              n_iterations=n_iterations)
-        out = from_planes(np.asarray(res.x)).astype(B.dtype).T.reshape(-1)
-        history = np.asarray(res.residual_history)
+    # a complex matrix with a real RHS still needs the complex solve
+    is_complex = np.iscomplexobj(B) or np.issubdtype(A.dtype,
+                                                     np.complexfloating)
+    if is_complex and not np.iscomplexobj(B):
+        B = B.astype(np.result_type(B.dtype, A.dtype))
+        X0 = X0.astype(B.dtype) if X0 is not None else None
+    if is_complex and default_backend() != "cpu":
+        X, history = _solve_planes(A, B, X0, n_iterations)
+        out = X.T.reshape(-1)
     else:
         result = block_cg(A, jnp.asarray(B),
                           jnp.asarray(X0) if X0 is not None else None,

@@ -62,7 +62,9 @@ def _as_complex(d) -> np.ndarray:
     return d.astype(np.complex128)
 
 
-def _native_lincomb(coeffs: np.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+def _native_lincomb(coeffs, basis: jnp.ndarray) -> jnp.ndarray:
+    """Linear combination sum_i c_i basis_i; works with host numpy or
+    traced coefficients."""
     return jnp.tensordot(jnp.asarray(coeffs).astype(basis.dtype), basis,
                          axes=(0, 0))
 
@@ -72,10 +74,6 @@ def planes_lincomb(coeffs: np.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
     cr = jnp.asarray(coeffs.real.astype(basis.dtype))
     ci = jnp.asarray(coeffs.imag.astype(basis.dtype))
     return _lincomb_dev_planes(jnp.stack([cr, ci]), basis)
-
-
-def _lincomb_dev_native(c: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
-    return jnp.tensordot(c.astype(basis.dtype), basis, axes=(0, 0))
 
 
 def _lincomb_dev_planes(cp: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +88,7 @@ def _lincomb_dev_planes(cp: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
 
 def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
            tol: float = 1e-6, krylsize: int = 100, norm=None, wdot=None,
-           lincomb=None, planes: Optional[bool] = None,
+           lincomb=None, lincomb_dev=None, planes: Optional[bool] = None,
            jit_tail: bool = True,
            callback: Optional[Callable] = None) -> FGMRESResult:
     """Solve ``A x = b`` with one FGMRES cycle of up to ``krylsize`` steps.
@@ -100,10 +98,18 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         or (2, M, M, S, S) float planes for the TPU path).
     norm(v) -> float, wdot(V, v) -> batched Hermitian dots over the
         leading axis (native complex (K,) or planes (2, K) layout), and
-        lincomb(complex coeffs, V) -> sum_i c_i V_i; defaults are plain
-        dense complex reductions.  For planes vectors pass
-        ``Decomposition.norm_planes`` / ``.wdot_planes`` /
-        ``planes_lincomb``.
+        lincomb(host complex coeffs, V) -> sum_i c_i V_i (used for the
+        final solution update); lincomb_dev(device dots, V) is its traced
+        twin used inside the fused Gram-Schmidt step.  Defaults are plain
+        dense complex reductions; for planes vectors pass
+        ``Decomposition.norm_planes`` / ``.wdot_planes`` (lincombs are
+        selected automatically from the layout).
+    planes : set explicitly for float vectors whose leading axis is 2 but
+        which are NOT two-plane complex (auto-detection assumes planes for
+        float32 (2, ...) arrays).
+    jit_tail : the per-iteration Arnoldi tail is jitted by default; host
+        (non-traceable) operators are detected on the first iteration and
+        fall back to eager execution automatically.
     tol : relative to ||r0|| (``:2938-2939``).
     """
     if norm is None:
@@ -144,11 +150,13 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
     s[0] = beta
 
     kmask = np.arange(K + 1)
-    # two-plane layout detection (leading size-2 float axis); pass
+    # two-plane layout detection (leading size-2 float32 axis); pass
     # ``planes`` explicitly for float vectors that are not planes.
     planes_mode = planes if planes is not None else (
-        len(shape) > 0 and shape[0] == 2 and not jnp.iscomplexobj(b))
-    lincomb_dev = _lincomb_dev_planes if planes_mode else _lincomb_dev_native
+        len(shape) > 0 and shape[0] == 2 and dtype == jnp.float32)
+    if lincomb_dev is None:
+        lincomb_dev = (_lincomb_dev_planes if planes_mode
+                       else _native_lincomb)
 
     import jax
 
@@ -167,10 +175,7 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         VV = VV.at[kk + 1].set(pp / h_sub.astype(pp.dtype))
         return VV, MV, jnp.asarray(d1) + jnp.asarray(d2), h_sub
 
-    if jit_tail:
-        # pass jit_tail=False for host-side (non-traceable) operators,
-        # e.g. the variable-size decomposition's numpy implementation.
-        arnoldi_tail = jax.jit(arnoldi_tail)
+    tail = jax.jit(arnoldi_tail) if jit_tail else arnoldi_tail
 
     converged = False
     kk = 0
@@ -182,8 +187,14 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         active = jnp.asarray((kmask <= kk).astype(np.float32
                                                   if planes_mode
                                                   else np.float64))
-        VV, MV, hcol_dev, h_sub_dev = arnoldi_tail(
-            VV, MV, v, jnp.asarray(kk), active)
+        try:
+            VV, MV, hcol_dev, h_sub_dev = tail(
+                VV, MV, v, jnp.asarray(kk), active)
+        except jax.errors.TracerArrayConversionError:
+            # host-side (non-traceable) operators: fall back to eager
+            tail = arnoldi_tail
+            VV, MV, hcol_dev, h_sub_dev = tail(
+                VV, MV, v, jnp.asarray(kk), active)
         hcol = _as_complex(hcol_dev)
         h_sub = float(h_sub_dev)
         H[: kk + 1, kk] = hcol[: kk + 1]
