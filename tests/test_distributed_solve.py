@@ -224,3 +224,20 @@ def test_schwarz_planes_dense_lu_tuple_rejected():
     with _pytest.raises(NotImplementedError):
         SchwarzPrec(decomp, (coef, S.offsets), method="dense_lu",
                     planes=True)
+
+
+def test_hsolver_random_guess_and_wgmres():
+    """guess=2 (consistent random x0) through the wgmres dispatcher."""
+    cfg = HelmholtzConfig(k=6.0, M_subd=2, W_subd=8, use_cg=0, tol=1e-6,
+                          restart=100, gmres_ver="wgmres", guess=2,
+                          dtype="complex128", verbose=0)
+    res = hsolver(cfg)
+    assert res.converged
+    assert res.true_residual < 1e-3
+
+
+def test_island_variants():
+    c = island_wave_speed(13, 3, 2.0, 0.5, match_subdomains=False)
+    assert set(np.unique(c)) == {0.5, 2.0}
+    c2 = island_wave_speed(13, 3, 2.0, 0.5, match_subdomains=True, shift=2)
+    assert c2.shape == (12, 12)

@@ -89,3 +89,16 @@ def test_varsize_hsolver_end_to_end():
     # subdomain widths genuinely differ in this configuration
     sizes = {s["nv"] for s in decomp.subs}
     assert len(sizes) > 1
+
+
+def test_varsize_hsolver_cg_subsolves():
+    """NumPy fixed-iteration CG subsolves on the varsize path."""
+    x, decomp, res = varsize_hsolver(2, 6, 1, k=4.0, tol=1e-6,
+                                     restart=60, cg_max_it=400)
+    assert res.converged
+    N = decomp.N
+    A = helm_fe(N, 4.0, 4.0).to_scipy()
+    b = plane_wave_rhs(N, 4.0)
+    x_glob = decomp.to_global(x, check=True, tol=1e-4)
+    r = A @ x_glob.ravel() - b.ravel()
+    assert np.linalg.norm(r) < 1e-4 * np.linalg.norm(b)

@@ -278,9 +278,11 @@ def varsize_hsolver(M: int, W: int, OL: int, k: float, eps: float = None,
             if cg_max_it == 0:
                 rs.append(blocks[p](zp.ravel()).reshape(zp.shape))
             else:
-                rs.append(reference.cg(blocks[p], zp.ravel(),
-                                       n_iterations=cg_max_it)
-                          .reshape(zp.shape))
+                # the reference's UseCG=5 mode uses the early-exit NumPy
+                # CG (CG(P, z, tol=CGtol, maxit=CGMaxIT), as_prec :1915)
+                rs.append(reference.cg_early_exit(
+                    blocks[p], zp.ravel(), tol=1e-8,
+                    maxit=cg_max_it).reshape(zp.shape))
         return decomp.ol_update(decomp.concat(rs))
 
     res = fgmres(lambda x: decomp.ax_op(ops, np.asarray(x)), b, M=prec,
