@@ -11,7 +11,10 @@
     (``p_h-PY_C-CL-multi-GPU.py:3637-3731``): k=20, epsilon=k, impedance
     subdomain blocks, OL=(W_s-2)/2, sweep the requested sub-solver
     variants through ``HSolver``, print total and per-iteration times, and
-    persist ``output_{M_s}_{W_s}_{CGMaxIT}.txt``.
+    persist ``output_{M_s}_{W_s}_{CGMaxIT}.txt``.  Pass a comma list as
+    UseCG (e.g. ``0,2,5``) to sweep several variants like
+    ``p_h-PY_C-CL.py``'s ``cgs=[0,1,2,5]`` (:3622); failures are recorded
+    as 0 like the reference (:3715-3718).
 """
 from __future__ import annotations
 
@@ -67,7 +70,8 @@ def run_helmholtz_cli(argv):
         print("====> please supply arguments: M_s W_s UseCG [CGMaxIT]",
               file=sys.stderr)
         return 1
-    m_s, w_s, use_cg = int(argv[0]), int(argv[1]), int(argv[2])
+    m_s, w_s = int(argv[0]), int(argv[1])
+    cgs = [int(v) for v in argv[2].split(",")]
     cg_max_it = int(argv[3]) if len(argv) == 4 else 256
 
     from .parallel.hsolver import hsolver, Counter
@@ -81,7 +85,6 @@ def run_helmholtz_cli(argv):
     print("One-level AS preconditioner")
     print("----> setting epsilon=k^beta: ", kkk)
 
-    cgs = [use_cg]
     times, times_pi = [], []
     for cg_mode in cgs:
         banner = USECG_BANNERS.get(cg_mode, "=== -- unknown SubSolver!")
