@@ -61,3 +61,23 @@ def test_cg_matrix_wrapper():
     x = cg_matrix(A, b, n_iterations=20)
     x_ref = reference.cg(A, b, n_iterations=20)
     np.testing.assert_allclose(x, x_ref, rtol=1e-9)
+
+
+def test_cg_matrix_rcm_reorder_matches_unshuffled():
+    """A row/col-shuffled banded matrix must take the same RCM->DIA path
+    through ``cg_matrix`` as through ``cg`` (regression: cg_matrix used to
+    skip ``reorder=True`` and fall off onto the slow ELL path; results are
+    permutation-invariant either way, so pin both correctness and layout)."""
+    from tpcg.sparse import DiaMatrix, to_device_matrix
+
+    A = sp.csr_matrix(sp.diags([-np.ones(99), 4 * np.ones(100),
+                                -np.ones(99)], [-1, 0, 1]))
+    rng = np.random.default_rng(8)
+    p = rng.permutation(100)
+    Ashuf = sp.csr_matrix(A[p][:, p])
+    M, perm = to_device_matrix(Ashuf, reorder=True)
+    assert isinstance(M, DiaMatrix) and perm is not None
+    b = rng.standard_normal(100)
+    x = cg_matrix(Ashuf, b, n_iterations=60)
+    x_ref = reference.cg(Ashuf, b, n_iterations=60)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-8, atol=1e-10)

@@ -241,3 +241,65 @@ def test_island_variants():
     assert set(np.unique(c)) == {0.5, 2.0}
     c2 = island_wave_speed(13, 3, 2.0, 0.5, match_subdomains=True, shift=2)
     assert c2.shape == (12, 12)
+
+
+def test_fgmres_happy_breakdown_identity():
+    """Exact convergence inside an Arnoldi step gives h_sub == 0; the basis
+    update must stay finite (regression -- the reference NaNs here,
+    ``p_h-PY_C-CL-multi-GPU.py:2987``; deliberate fix)."""
+    n = 16
+    b = np.arange(1.0, n + 1.0) + 0j
+    res = fgmres(lambda x: x, jnp.asarray(b), tol=1e-12, krylsize=5)
+    assert res.converged and res.iterations == 1
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    np.testing.assert_allclose(np.asarray(res.x), b, rtol=1e-12)
+
+
+def test_schwarz_tuple_p_numpy_method_honored():
+    """UseCG=5 with per-subdomain (var-coeff) blocks must run the host
+    NumPy-CG oracle per subdomain, not silently fall through to device
+    block-CG (regression).  Cross-check: a tight-tolerance NumPy subsolve
+    approaches the per-subdomain exact solve."""
+    import scipy.sparse.linalg as sl
+    from tpcg.sparse import Stencil2D
+
+    decomp, S, _ = setup_problem(M=2, W=6, OL=1)
+    part = decomp.part
+    Sd, M = part.sdsz, part.M
+    # per-subdomain impedance blocks with slightly different damping so the
+    # blocks genuinely differ
+    coefs = []
+    for p in range(part.nsubd):
+        blk = local_rect(part.N, k=6.0, eps=6.0 + 0.2 * p, eta=6.0,
+                         Nhoriz=Sd, Nvert=Sd)
+        coefs.append(np.asarray(blk.coef))
+    coef = np.stack(coefs, axis=1).reshape((-1, M, M, Sd, Sd))
+    P = (jnp.asarray(coef), blk.offsets)
+
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal(decomp.grid_shape) \
+        + 1j * rng.standard_normal(decomp.grid_shape)
+    prec = SchwarzPrec(decomp, P, method="numpy", cg_iterations=4000,
+                       cg_tol=1e-12)
+    got = np.asarray(prec(jnp.asarray(z)))
+
+    r = np.empty_like(z)
+    for p in range(part.nsubd):
+        si, sj = divmod(p, M)
+        A = Stencil2D(blk.offsets, coef[:, si, sj], (Sd, Sd)).to_scipy()
+        r[si, sj] = sl.spsolve(A.tocsc(), z[si, sj].ravel()).reshape(Sd, Sd)
+    want = ol_oracle(r, part, restricted=True, averaging=True)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_fgmres_triangular_self_check_runs(capsys):
+    """``zsolupcont(check=True)`` parity: the self-check mode runs and stays
+    silent on a healthy solve (``p_h-PY_C-CL-multi-GPU.py:2810-2827``)."""
+    decomp, S, b = setup_problem(M=2, W=6, OL=1)
+    coef = jnp.asarray(decomp.crop_stencil(np.asarray(S.coef)))
+    bg = jnp.asarray(decomp.crop_grid(b))
+    res = fgmres(lambda x: decomp.ax_op(coef, S.offsets, x), bg,
+                 tol=1e-6, krylsize=60, norm=decomp.norm, wdot=decomp.wdot,
+                 check_triangular=True)
+    assert res.converged
+    assert "zsolup check" not in capsys.readouterr().out

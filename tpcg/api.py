@@ -109,13 +109,19 @@ def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
     import jax.numpy as jnp
     from jax import default_backend
 
+    perm = None
     if sp.issparse(A):
-        A = to_device_matrix(A)
+        # same RCM policy as ``cg`` (a shuffled banded matrix must land on
+        # the gather-free DIA path through every entry point)
+        A, perm = to_device_matrix(A, reorder=True)
     n = A.shape[0]
     b = np.asarray(b)
     n_rhs = n_rhs or (b.size // n)
     B = b.reshape(n_rhs, n).T
     X0 = np.asarray(x).reshape(n_rhs, n).T if x is not None else None
+    if perm is not None:
+        B = B[perm]
+        X0 = X0[perm] if X0 is not None else None
     # a complex matrix with a real RHS still needs the complex solve
     is_complex = np.iscomplexobj(B) or np.issubdtype(A.dtype,
                                                      np.complexfloating)
@@ -124,13 +130,17 @@ def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
         X0 = X0.astype(B.dtype) if X0 is not None else None
     if is_complex and default_backend() != "cpu":
         X, history = _solve_planes(A, B, X0, n_iterations)
-        out = X.T.reshape(-1)
     else:
         result = block_cg(A, jnp.asarray(B),
                           jnp.asarray(X0) if X0 is not None else None,
                           n_iterations=n_iterations)
-        out = np.asarray(result.x).T.reshape(-1)
+        X = np.asarray(result.x)
         history = np.asarray(result.residual_history)
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n)
+        X = X[inv]
+    out = np.asarray(X).T.reshape(-1)
     if record_history:
         return out, history
     return out

@@ -89,7 +89,7 @@ def _lincomb_dev_planes(cp: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
 def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
            tol: float = 1e-6, krylsize: int = 100, norm=None, wdot=None,
            lincomb=None, lincomb_dev=None, planes: Optional[bool] = None,
-           jit_tail: bool = True,
+           jit_tail: bool = True, check_triangular: bool = False,
            callback: Optional[Callable] = None) -> FGMRESResult:
     """Solve ``A x = b`` with one FGMRES cycle of up to ``krylsize`` steps.
 
@@ -172,7 +172,12 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         d2 = wdot(VV, pp) * active
         pp = pp - lincomb_dev(d2, VV)
         h_sub = jnp.asarray(norm(pp))
-        VV = VV.at[kk + 1].set(pp / h_sub.astype(pp.dtype))
+        # happy breakdown: exact convergence inside the Arnoldi step gives
+        # h_sub == 0 -- keep the (zero) basis column finite instead of
+        # NaN-ing it (the reference shares this flaw, :2987; deliberate fix
+        # like the analogous guard in tpcg/cg.py).
+        safe = jnp.where(h_sub == 0, jnp.ones_like(h_sub), h_sub)
+        VV = VV.at[kk + 1].set(pp / safe.astype(pp.dtype))
         return VV, MV, jnp.asarray(d1) + jnp.asarray(d2), h_sub
 
     tail = jax.jit(arnoldi_tail) if jit_tail else arnoldi_tail
@@ -229,5 +234,13 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
             y[j] = 0.0
         else:
             y[j] = acc / H[j, j]
+    if check_triangular:
+        # ``zsolupcont(check=True)`` (:2810-2827): verify the triangular
+        # solve H y = s before trusting the update.
+        resid = np.abs(np.triu(H[:m, :m]) @ y[:m] - s[:m])
+        bad = np.nonzero(resid > 1e-10 * max(1.0, abs(s[0])))[0]
+        for j in bad:
+            print(f"#### zsolup check: row {j} residual {resid[j]:.3e}"
+                  "  <-- triangular solve inaccurate", flush=True)
     x = x + lincomb(y, MV[:K])
     return FGMRESResult(x, m, residual_norms, converged)

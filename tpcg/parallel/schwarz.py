@@ -128,6 +128,25 @@ class SchwarzPrec:
         res = block_cg(self.P, z2d, n_iterations=self.cg_iterations)
         return res.x
 
+    def _solve_batched_numpy(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Host NumPy-CG oracle (UseCG=5) for per-subdomain coefficients:
+        each subdomain solves against its *own* block, early-exit at
+        CGtol (``p_h-PY_C-CL-multi-GPU.py:1911-1918`` with per-subdomain
+        P[i], the var-coeff first-call build at :1870-1874)."""
+        from .. import reference
+        coef, offsets = self.P
+        c = np.asarray(coef)                      # (noff, M, M, S, S)
+        zh = np.asarray(z)
+        M, S = self.decomp.part.M, self.decomp.part.sdsz
+        out = np.empty_like(zh)
+        for i in range(M):
+            for j in range(M):
+                A = Stencil2D(offsets, c[:, i, j], (S, S)).to_scipy()
+                out[i, j] = reference.cg_early_exit(
+                    A, zh[i, j].ravel(), tol=self.cg_tol,
+                    maxit=self.cg_iterations).reshape(S, S)
+        return jnp.asarray(out)
+
     def _solve_batched_coef(self, z: jnp.ndarray) -> jnp.ndarray:
         """Per-subdomain stencil coefficients (VarCoeff path): fixed-
         iteration CG where the matvec applies each subdomain's own block."""
@@ -186,7 +205,10 @@ class SchwarzPrec:
             return self._call_planes(z)
         M, S = self.decomp.part.M, self.decomp.part.sdsz
         if isinstance(self.P, tuple):
-            r = self._solve_batched_coef(z)
+            # honor the UseCG=5 host-oracle request for per-subdomain
+            # coefficients too (previously silently ran device block-CG)
+            r = (self._solve_batched_numpy(z) if self.method == "numpy"
+                 else self._solve_batched_coef(z))
         else:
             # (M, M, S, S) -> (n_p, nsubd): subdomains become the RHS batch
             z2d = z.reshape(M * M, S * S).T

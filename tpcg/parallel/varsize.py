@@ -243,7 +243,8 @@ class VarsizeDecomposition:
 
 def varsize_hsolver(M: int, W: int, OL: int, k: float, eps: float = None,
                     tol: float = 1e-6, restart: int = 100,
-                    cg_max_it: int = 0, verbose: int = 0):
+                    cg_max_it: int = 0, cg_tol: float = 1e-5,
+                    verbose: int = 0):
     """End-to-end Helmholtz solve on the variable-size partition:
     global assembly, ORAS preconditioner with per-subdomain impedance
     blocks (each subdomain's own shape), exact or NumPy-CG subsolves,
@@ -279,9 +280,10 @@ def varsize_hsolver(M: int, W: int, OL: int, k: float, eps: float = None,
                 rs.append(blocks[p](zp.ravel()).reshape(zp.shape))
             else:
                 # the reference's UseCG=5 mode uses the early-exit NumPy
-                # CG (CG(P, z, tol=CGtol, maxit=CGMaxIT), as_prec :1915)
+                # CG (CG(P, z, tol=CGtol, maxit=CGMaxIT), as_prec :1915;
+                # CGtol=1e-5 default, :3606)
                 rs.append(reference.cg_early_exit(
-                    blocks[p], zp.ravel(), tol=1e-8,
+                    blocks[p], zp.ravel(), tol=cg_tol,
                     maxit=cg_max_it).reshape(zp.shape))
         return decomp.ol_update(decomp.concat(rs))
 
