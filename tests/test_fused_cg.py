@@ -116,3 +116,20 @@ def test_split_const_stencil_exact():
     # where the assembled coefficient is nonzero
     mask = c != 0
     np.testing.assert_allclose(rec[mask], c[mask], rtol=1e-12)
+
+
+def test_fused_packed_equals_unrolled_large_batch():
+    """The lane-packed scalar layout (batch capacity bounded by VMEM, not
+    code size) must reproduce the statically-unrolled recurrences for a
+    batch beyond the old practical bound."""
+    N, k = 16, 5.0
+    S = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    B = np.stack([(r + 1) * b for r in range(8)])
+    xu, hu = fused_cg(S, B, n_iterations=20, interpret=True, packed=False)
+    xp, hp = fused_cg(S, B, n_iterations=20, interpret=True, packed=True)
+    scale = float(np.abs(np.asarray(xu)).max())
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(xu),
+                               rtol=0, atol=2e-3 * scale)
+    np.testing.assert_allclose(np.asarray(hp), np.asarray(hu),
+                               rtol=2e-2, atol=1e-3 * float(hu[0, 0]))

@@ -96,6 +96,90 @@ def _cg_scalar_step(it, deltas, nb, qr, qi, read_d, write_d, xr, xi,
     return tuple(new_deltas)
 
 
+def _packed_reduce(prod, ones_red):
+    """Grid reduction of ``prod`` (B, nv, nh) -> (B, nh) lane-replicated.
+
+    Sublane-axis ``jnp.sum`` then a ones-matrix MXU contraction: the only
+    Mosaic-safe way to carry B independent scalars without the
+    small-vector reshapes that crash layout inference (see module
+    docstring / the per-RHS unrolled fallback)."""
+    return jnp.dot(jnp.sum(prod, axis=1), ones_red,
+                   preferred_element_type=jnp.float32)
+
+
+def _cg_packed_body(nb, nv, nh, apply_q, read_d, write_d, xr, xi, rr, ri,
+                    hist_ref, it, deltas):
+    """One CG iteration with lane-packed per-RHS scalars.
+
+    Scalars live as (B, nh) lane-replicated float32 tiles; all B COCG
+    recurrences advance in one vector program (no per-RHS unrolling), so
+    the batch capacity is bounded by VMEM, not code size -- this is what
+    lifts the reference's b=47 cap (report SV) entirely.
+    """
+    from jax import lax as _lax
+
+    ones_red = jnp.ones((nh, nh), jnp.float32)
+    eye = jnp.eye(nb, nh, dtype=jnp.float32)
+    ones_row = jnp.ones((1, nb), jnp.float32)
+
+    def bc(t):
+        return _lax.broadcast_in_dim(t, (nb, nv, nh), (0, 2))
+
+    delta_r, delta_i = deltas
+    qr, qi = apply_q()
+    dcr, dci = read_d()
+    dq_r = _packed_reduce(dcr * qr - dci * qi, ones_red)
+    dq_i = _packed_reduce(dcr * qi + dci * qr, ones_red)
+    done = ((delta_r == 0) & (delta_i == 0)) | ((dq_r == 0) & (dq_i == 0))
+    a_r, a_i = _cdiv_scalar(delta_r, delta_i,
+                            jnp.where(done, 1.0, dq_r),
+                            jnp.where(done, 0.0, dq_i))
+    a_r = jnp.where(done, 0.0, a_r)
+    a_i = jnp.where(done, 0.0, a_i)
+    xr[...] = xr[...] + (bc(a_r) * dcr - bc(a_i) * dci)
+    xi[...] = xi[...] + (bc(a_r) * dci + bc(a_i) * dcr)
+    new_rr = rr[...] - (bc(a_r) * qr - bc(a_i) * qi)
+    new_ri = ri[...] - (bc(a_r) * qi + bc(a_i) * qr)
+    rr[...] = new_rr
+    ri[...] = new_ri
+    dn_r = _packed_reduce(new_rr * new_rr - new_ri * new_ri, ones_red)
+    dn_i = 2.0 * _packed_reduce(new_rr * new_ri, ones_red)
+    histv = jnp.sqrt(jnp.sqrt(dn_r * dn_r + dn_i * dn_i))
+    # (B,)-worth of scalars live on the tile diagonal; extract as a (1, B)
+    # row via an eye mask + ones contraction (no small-vector reshapes),
+    # then a dynamic-sublane store (lane index static).
+    row = jnp.dot(ones_row, histv * eye, preferred_element_type=jnp.float32)
+    hist_ref[pl.ds(it + 1, 1), 0:nb] = row[0:1, 0:nb]
+    be_r, be_i = _cdiv_scalar(dn_r, dn_i,
+                              jnp.where(done, 1.0, delta_r),
+                              jnp.where(done, 0.0, delta_i))
+    be_r = jnp.where(done, 0.0, be_r)
+    be_i = jnp.where(done, 0.0, be_i)
+    write_d(new_rr + (bc(be_r) * dcr - bc(be_i) * dci),
+            new_ri + (bc(be_r) * dci + bc(be_i) * dcr))
+    return dn_r, dn_i
+
+
+def _packed_init(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
+                 dr_pad, di_pad, hist_ref, q0r, q0i):
+    """Packed-scalar twin of :func:`_init_state`."""
+    ones_red = jnp.ones((nh, nh), jnp.float32)
+    eye = jnp.eye(nb, nh, dtype=jnp.float32)
+    ones_row = jnp.ones((1, nb), jnp.float32)
+    rr[...] = b_ref[0] - q0r
+    ri[...] = b_ref[1] - q0i
+    xr[...] = x0_ref[0]
+    xi[...] = x0_ref[1]
+    dr_pad[:, P:P + nv, P:P + nh] = rr[...]
+    di_pad[:, P:P + nv, P:P + nh] = ri[...]
+    d0r = _packed_reduce(rr[...] * rr[...] - ri[...] * ri[...], ones_red)
+    d0i = 2.0 * _packed_reduce(rr[...] * ri[...], ones_red)
+    histv = jnp.sqrt(jnp.sqrt(d0r * d0r + d0i * d0i))
+    row = jnp.dot(ones_row, histv * eye, preferred_element_type=jnp.float32)
+    hist_ref[0:1, 0:nb] = row[0:1, 0:nb]
+    return d0r, d0i
+
+
 def _init_state(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
                 dr_pad, di_pad, hist_ref, q0r, q0i):
     """Shared init: r0 = b - A x0, d0 = r0, delta0 scalars, hist[0]."""
@@ -118,19 +202,24 @@ def _init_state(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
 def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
                      coef3: jnp.ndarray, b: jnp.ndarray,
                      x0: jnp.ndarray, n_iterations: int,
-                     interpret: bool = False):
+                     interpret: bool = False, packed: bool = None):
     """Run ``n_iterations`` of block CG on a complex 2-D stencil operator.
 
     offsets : static stencil offsets ((dm, dj), ...).
     coef3   : (3, noff, Nv, Nh) float32 planes [Ar, Ai, Ar+Ai]
               (build with :func:`prepare_coef3`).
     b, x0   : (2, B, Nv, Nh) float32 RHS / initial-guess planes.
+    packed  : lane-packed per-RHS scalars ((B, nh) tiles, batch capacity
+              bounded only by VMEM) vs statically-unrolled rank-0 scalars
+              (the conservative original).  Default: packed for B >= 2.
     Returns (x, residual_history): (2, B, Nv, Nh) and (n_iterations+1, B)
     with the same COCG numerics as ``tpcg.ops.cplx.block_cg_planes``.
     """
     _, noff, nv, nh = coef3.shape
     _, nb, bv, bh = b.shape
     assert (bv, bh) == (nv, nh), (b.shape, coef3.shape)
+    if packed is None:
+        packed = nb >= 2
     P = _pad_for(offsets)
     pv, ph = nv + 2 * P, nh + 2 * P
     dt = b.dtype
@@ -161,6 +250,32 @@ def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
         dr_pad[:, P:P + nv, P:P + nh] = x0_ref[0]
         di_pad[:, P:P + nv, P:P + nh] = x0_ref[1]
         q0r, q0i = apply_stencil(coef_ref, dr_pad, di_pad)
+
+        if packed:
+            deltas0 = _packed_init(nb, nv, nh, P, b_ref, x0_ref, xr, xi,
+                                   rr, ri, dr_pad, di_pad, hist_ref,
+                                   q0r, q0i)
+
+            def read_d_all():
+                return (dr_pad[:, P:P + nv, P:P + nh],
+                        di_pad[:, P:P + nv, P:P + nh])
+
+            def write_d_all(wr, wi):
+                dr_pad[:, P:P + nv, P:P + nh] = wr
+                di_pad[:, P:P + nv, P:P + nh] = wi
+
+            def body(it, deltas):
+                return _cg_packed_body(
+                    nb, nv, nh,
+                    lambda: apply_stencil(coef_ref, dr_pad, di_pad),
+                    read_d_all, write_d_all, xr, xi, rr, ri, hist_ref,
+                    it, deltas)
+
+            lax.fori_loop(0, n_iterations, body, deltas0)
+            xout_ref[0] = xr[...]
+            xout_ref[1] = xi[...]
+            return
+
         deltas0 = _init_state(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
                               dr_pad, di_pad, hist_ref, q0r, q0i)
 
@@ -219,7 +334,7 @@ def prepare_coef3(stencil, dtype=np.float32) -> jnp.ndarray:
 
 
 def fused_cg(stencil, b, x0=None, n_iterations: int = 10,
-             interpret: bool = False):
+             interpret: bool = False, packed: bool = None):
     """Convenience wrapper: complex grid arrays in / out.
 
     stencil : Stencil2D (complex or real coefficients).
@@ -236,5 +351,6 @@ def fused_cg(stencil, b, x0=None, n_iterations: int = 10,
         x0 = np.asarray(x0).reshape(-1, nv, nh)
         x0p = jnp.asarray(np.stack([x0.real, x0.imag]).astype(np.float32))
     x, hist = fused_cg_stencil(stencil.offsets, coef3, bp, x0p,
-                               n_iterations, interpret=interpret)
+                               n_iterations, interpret=interpret,
+                               packed=packed)
     return x, hist

@@ -15,13 +15,13 @@ Decomposition:  A = C + D  where C is the constant-coefficient stencil
 stored as strips: bottom/top rows (full width) and left/right columns
 (excluding the corner rows, to avoid double counting).
 
-STATUS: numerically validated (interpret mode == general fused kernel ==
-NumPy oracle) but currently *slow when compiled* on this image's Mosaic:
-the width-1 boundary-column arithmetic lowers to lane-width-1 vector ops
-(~100x penalty), so the general ``fused_cg`` kernel remains the production
-path.  Kept for the larger-N VMEM-residency design it enables once the
-column corrections are restructured (e.g. via a transposed staging
-buffer).
+STATUS (round 2): numerically validated (interpret mode == general fused
+kernel == NumPy oracle) AND fast when compiled -- the round-1 "slow
+compiled" observation does not reproduce after the one-hot 128-wide edge
+blocks replaced the width-1 column ops (measured ~2x the general fused
+kernel at N=512, where coefficient traffic no longer fits VMEM).  This is
+the production path for large constant-coefficient grids; see
+``benchmarks/exp_const2.py`` for the measurement.
 """
 from __future__ import annotations
 
@@ -75,7 +75,8 @@ def _planes3(a, dtype):
 
 
 def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   _parts: tuple = ("rows", "cols")):
     """Fixed-iteration block CG on a constant-coefficient Stencil2D.
 
     b : complex (B, Nv, Nh) or (Nv, Nh).  Same numerics/returns as
@@ -140,6 +141,8 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
         col_r_r = jnp.zeros((nb, nv - 2, W), dtype)
         col_r_i = jnp.zeros((nb, nv - 2, W), dtype)
         for s, (dm, dj) in enumerate(offsets):
+            if "rows" not in _parts:
+                break
             # row m=0 taps d[dm, j+dj]; row m=nv-1 taps d[nv-1+dm, j+dj]
             xb_r = dr_pad[:, P + dm:P + dm + 1, P + dj:P + dj + nh]
             xb_i = di_pad[:, P + dm:P + dm + 1, P + dj:P + dj + nh]
@@ -153,6 +156,9 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
             ar, ai = st_ref[0, s], st_ref[1, s]
             row_top_r += ar * xt_r - ai * xt_i
             row_top_i += ar * xt_i + ai * xt_r
+        for s, (dm, dj) in enumerate(offsets):
+            if "cols" not in _parts:
+                break
             # col j=0 rows 1..nv-2 tap d[m+dm, dj] (one-hot in the W-wide
             # edge window); col j=nh-1 taps the right-edge window
             xl_r = dr_pad[:, P + 1 + dm:P + nv - 1 + dm,
@@ -173,16 +179,18 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
         # use supported slice read-modify-writes for the ring corrections.
         qr_s[...] = qr
         qi_s[...] = qi
-        qr_s[:, 0:1, :] = qr_s[:, 0:1, :] + row_bot_r
-        qi_s[:, 0:1, :] = qi_s[:, 0:1, :] + row_bot_i
-        qr_s[:, nv - 1:nv, :] = qr_s[:, nv - 1:nv, :] + row_top_r
-        qi_s[:, nv - 1:nv, :] = qi_s[:, nv - 1:nv, :] + row_top_i
-        qr_s[:, 1:nv - 1, 0:W] = qr_s[:, 1:nv - 1, 0:W] + col_l_r
-        qi_s[:, 1:nv - 1, 0:W] = qi_s[:, 1:nv - 1, 0:W] + col_l_i
-        qr_s[:, 1:nv - 1, nh - W:nh] = qr_s[:, 1:nv - 1, nh - W:nh] \
-            + col_r_r
-        qi_s[:, 1:nv - 1, nh - W:nh] = qi_s[:, 1:nv - 1, nh - W:nh] \
-            + col_r_i
+        if "rows" in _parts:
+            qr_s[:, 0:1, :] = qr_s[:, 0:1, :] + row_bot_r
+            qi_s[:, 0:1, :] = qi_s[:, 0:1, :] + row_bot_i
+            qr_s[:, nv - 1:nv, :] = qr_s[:, nv - 1:nv, :] + row_top_r
+            qi_s[:, nv - 1:nv, :] = qi_s[:, nv - 1:nv, :] + row_top_i
+        if "cols" in _parts:
+            qr_s[:, 1:nv - 1, 0:W] = qr_s[:, 1:nv - 1, 0:W] + col_l_r
+            qi_s[:, 1:nv - 1, 0:W] = qi_s[:, 1:nv - 1, 0:W] + col_l_i
+            qr_s[:, 1:nv - 1, nh - W:nh] = qr_s[:, 1:nv - 1, nh - W:nh] \
+                + col_r_r
+            qi_s[:, 1:nv - 1, nh - W:nh] = qi_s[:, 1:nv - 1, nh - W:nh] \
+                + col_r_i
         return qr_s[...], qi_s[...]
 
     def kernel(sb_ref, st_ref, sl_ref, sr_ref, b_ref, x0_ref,
