@@ -4,6 +4,8 @@ The acceptance oracle is the reference's own (SURVEY §4): post-solve true
 residual ``||A x - b||`` against the *global* operator, plus agreement of
 the reconstructed global solution with a scipy direct solve.
 """
+import dataclasses
+
 import numpy as np
 import pytest
 import scipy.sparse.linalg as spla
@@ -303,3 +305,71 @@ def test_fgmres_triangular_self_check_runs(capsys):
                  check_triangular=True)
     assert res.converged
     assert "zsolup check" not in capsys.readouterr().out
+
+
+def test_hsolver_oshape_inactive_nodes():
+    """OshapeD masking: RHS and initial guess zeroed at inactive nodes
+    (``p_h-PY_C-CL-multi-GPU.py:1429-1430, 3482-3484``), and the masked
+    solve still converges."""
+    from tpcg.problems import oshape_mask
+    from tpcg.parallel.hsolver import build_operator
+    from tpcg.parallel import make_partition
+
+    cfg = HelmholtzConfig(k=6.0, M_subd=2, W_subd=8, OL=2, use_cg=0,
+                          restart=200, verbose=0, oshape_d=True,
+                          dtype="complex128", use_planes=False)
+    res = hsolver(cfg)
+    assert res.converged
+    # the masked RHS is zero in the hole, so check the solve is against
+    # the masked problem: rebuild the mask and compare residual there
+    part = make_partition(cfg.M_subd, cfg.W_subd, cfg.overlap)
+    decomp = Decomposition(part)
+    mask = decomp.crop_grid(oshape_mask(part.N))
+    _, coef_np, b_global = build_operator(cfg, decomp)
+    bg = decomp.crop_grid(b_global) * mask
+    coef = jnp.asarray(coef_np)
+    S = helm_fe(part.N, cfg.k, cfg.epsilon)
+    r = np.asarray(decomp.ax_op(coef, S.offsets, jnp.asarray(res.x))) - bg
+    rn = float(np.asarray(decomp.norm(jnp.asarray(r))))
+    b0 = float(np.asarray(decomp.norm(jnp.asarray(bg))))
+    assert rn < 1e-5 * max(b0, 1.0)
+
+
+def test_oshape_mask_shape():
+    from tpcg.problems import oshape_mask
+    m = oshape_mask(12)
+    assert m.shape == (12, 12)
+    assert m[6, 6] == 0.0 and m[0, 0] == 1.0 and m[1, 6] == 1.0
+    # hole is the middle third
+    assert m.sum() == 12 * 12 - 4 * 4
+
+
+def test_fgmres_chunked_matches_per_iteration():
+    """chunk>1 fuses whole Arnoldi steps per device call; the residual
+    history and solution must match the chunk=1 (reference) behaviour."""
+    decomp, S, b = setup_problem(M=2, W=6, OL=1)
+    coef = jnp.asarray(decomp.crop_stencil(np.asarray(S.coef)))
+    bg = jnp.asarray(decomp.crop_grid(b))
+    mv = lambda x: decomp.ax_op(coef, S.offsets, x)
+    r1 = fgmres(mv, bg, tol=1e-8, krylsize=40, norm=decomp.norm,
+                wdot=decomp.wdot)
+    r4 = fgmres(mv, bg, tol=1e-8, krylsize=40, norm=decomp.norm,
+                wdot=decomp.wdot, chunk=4)
+    assert r4.converged == r1.converged
+    assert r4.iterations == r1.iterations
+    np.testing.assert_allclose(np.asarray(r4.x), np.asarray(r1.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(r4.residual_norms, r1.residual_norms,
+                               rtol=1e-8)
+
+
+def test_hsolver_fgmres_chunk_config():
+    cfg1 = HelmholtzConfig(k=6.0, M_subd=2, W_subd=6, OL=1, use_cg=0,
+                           restart=100, verbose=0, dtype="complex128",
+                           use_planes=False)
+    cfg4 = dataclasses.replace(cfg1, fgmres_chunk=4)
+    r1 = hsolver(cfg1)
+    r4 = hsolver(cfg4)
+    assert r1.iterations == r4.iterations
+    np.testing.assert_allclose(np.asarray(r4.x), np.asarray(r1.x),
+                               rtol=1e-9, atol=1e-11)

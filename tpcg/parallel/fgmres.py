@@ -90,6 +90,7 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
            tol: float = 1e-6, krylsize: int = 100, norm=None, wdot=None,
            lincomb=None, lincomb_dev=None, planes: Optional[bool] = None,
            jit_tail: bool = True, check_triangular: bool = False,
+           chunk: int = 1,
            callback: Optional[Callable] = None) -> FGMRESResult:
     """Solve ``A x = b`` with one FGMRES cycle of up to ``krylsize`` steps.
 
@@ -110,6 +111,16 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
     jit_tail : the per-iteration Arnoldi tail is jitted by default; host
         (non-traceable) operators are detected on the first iteration and
         fall back to eager execution automatically.
+    chunk : Arnoldi steps fused per device call.  The Arnoldi recursion
+        (preconditioner, matvec, 2-pass CGS, basis update) is independent
+        of the Givens bookkeeping, so ``chunk`` whole steps run in ONE
+        jitted program and only then does the host apply rotations and
+        test convergence -- on the tunneled TPU each host sync costs
+        ~30 ms, so chunk=4..8 removes most of the per-iteration latency.
+        Converging mid-chunk wastes at most ``chunk - 1`` preconditioner
+        applications; the extra orthonormal basis columns are ignored by
+        the back-substitution (y is zero past the convergence index).
+        Requires a jittable M; chunk=1 reproduces the reference exactly.
     tol : relative to ||r0|| (``:2938-2939``).
     """
     if norm is None:
@@ -182,28 +193,10 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
 
     tail = jax.jit(arnoldi_tail) if jit_tail else arnoldi_tail
 
-    converged = False
-    kk = 0
-    for kk in range(K):
-        z = VV[kk]
-        v = M(z)
-        # two-pass classical Gram-Schmidt against the active basis
-        # (:2977-2984); padded columns are zero and contribute nothing.
-        active = jnp.asarray((kmask <= kk).astype(np.float32
-                                                  if planes_mode
-                                                  else np.float64))
-        try:
-            VV, MV, hcol_dev, h_sub_dev = tail(
-                VV, MV, v, jnp.asarray(kk), active)
-        except jax.errors.TracerArrayConversionError:
-            # host-side (non-traceable) operators: fall back to eager
-            tail = arnoldi_tail
-            VV, MV, hcol_dev, h_sub_dev = tail(
-                VV, MV, v, jnp.asarray(kk), active)
-        hcol = _as_complex(hcol_dev)
-        h_sub = float(h_sub_dev)
+    def host_update(kk, hcol, h_sub):
+        """Givens bookkeeping + convergence test for one new column.
+        Returns the residual estimate."""
         H[: kk + 1, kk] = hcol[: kk + 1]
-
         # apply previous rotations to the new column (:2999-3003)
         for i in range(kk):
             t = H[i, kk]
@@ -214,14 +207,80 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         H[kk, kk] = g1 * H[kk, kk] + np.conj(g2) * h_sub
         s[kk + 1] = -g2 * s[kk]
         s[kk] = g1 * s[kk]
-
         res = abs(s[kk + 1])
         residual_norms.append(res)
         if callback is not None:
             callback(res)
-        if res < atol or kk == K - 1:
-            converged = res < atol
-            break
+        return res
+
+    converged = False
+    kk = 0
+    if chunk > 1:
+        # fused-chunk mode: `steps` whole Arnoldi iterations per device
+        # program, host Givens afterwards (see docstring).
+        adt = np.float32 if planes_mode else np.float64
+
+        def arnoldi_chunk(VV, MV, kk0, steps):
+            hcols, hsubs = [], []
+            for t in range(steps):
+                kk = kk0 + t
+                z = VV[kk]
+                v = M(z)
+                active = (jnp.arange(K + 1) <= kk).astype(adt)
+                MV = MV.at[kk].set(v)
+                pp = matvec(v)
+                d1 = wdot(VV, pp) * active
+                pp = pp - lincomb_dev(d1, VV)
+                d2 = wdot(VV, pp) * active
+                pp = pp - lincomb_dev(d2, VV)
+                h_sub = jnp.asarray(norm(pp))
+                safe = jnp.where(h_sub == 0, jnp.ones_like(h_sub), h_sub)
+                VV = VV.at[kk + 1].set(pp / safe.astype(pp.dtype))
+                hcols.append(jnp.asarray(d1) + jnp.asarray(d2))
+                hsubs.append(h_sub)
+            return VV, MV, jnp.stack(hcols), jnp.stack(hsubs)
+
+        chunk_fn = jax.jit(arnoldi_chunk, static_argnums=3)
+        stop = False
+        for kk0 in range(0, K, chunk):
+            steps = min(chunk, K - kk0)
+            VV, MV, hcols_dev, hsubs_dev = chunk_fn(
+                VV, MV, jnp.asarray(kk0), steps)
+            hcols_np = np.asarray(hcols_dev)
+            hsubs_np = np.asarray(hsubs_dev)
+            for t in range(steps):
+                kk = kk0 + t
+                res = host_update(kk, _as_complex(hcols_np[t]),
+                                  float(hsubs_np[t]))
+                if res < atol or kk == K - 1:
+                    converged = res < atol
+                    stop = True
+                    break
+            if stop:
+                break
+    else:
+        for kk in range(K):
+            z = VV[kk]
+            v = M(z)
+            # two-pass classical Gram-Schmidt against the active basis
+            # (:2977-2984); padded columns are zero and contribute
+            # nothing.
+            active = jnp.asarray((kmask <= kk).astype(np.float32
+                                                      if planes_mode
+                                                      else np.float64))
+            try:
+                VV, MV, hcol_dev, h_sub_dev = tail(
+                    VV, MV, v, jnp.asarray(kk), active)
+            except jax.errors.TracerArrayConversionError:
+                # host-side (non-traceable) operators: fall back to eager
+                tail = arnoldi_tail
+                VV, MV, hcol_dev, h_sub_dev = tail(
+                    VV, MV, v, jnp.asarray(kk), active)
+            res = host_update(kk, _as_complex(hcol_dev),
+                              float(h_sub_dev))
+            if res < atol or kk == K - 1:
+                converged = res < atol
+                break
 
     # back-substitution H y = s on the rotated triangular system, with the
     # reference's underflow guard (``zsolupcont``, :2766-2834), then the
