@@ -1,0 +1,75 @@
+"""Routing-network SpMV: Benes masks, layer decomposition, Pallas kernel
+(interpret mode) -- the gather-free general-sparse path."""
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from tpcg import block_cg, reference
+from tpcg.ops.routing import (apply_benes_numpy, assign_layers, benes_masks,
+                              build_routing_spmv)
+from tpcg.ops.route_spmv import DeviceRouted
+
+
+def test_benes_masks_route_arbitrary_permutations():
+    rng = np.random.default_rng(0)
+    for m in (2, 8, 64, 512):
+        for _ in range(3):
+            perm = rng.permutation(m)
+            masks = benes_masks(perm)
+            x = np.arange(m, dtype=np.float64)
+            np.testing.assert_array_equal(apply_benes_numpy(masks, x),
+                                          x[perm])
+
+
+def test_assign_layers_is_matching_decomposition():
+    rng = np.random.default_rng(1)
+    n, per_row = 300, 7
+    rows = np.repeat(np.arange(n), per_row)
+    cols = rng.integers(0, n, size=n * per_row)
+    layers = assign_layers(rows.astype(np.int64), cols.astype(np.int64), n)
+    seen = np.zeros(n * per_row, dtype=bool)
+    for lrows, lidx in layers:
+        # at most one edge per row and per column within a layer
+        assert len(np.unique(lrows)) == len(lrows)
+        assert len(np.unique(cols[lidx])) == len(lidx)
+        assert not seen[lidx].any()
+        seen[lidx] = True
+    assert seen.all()
+    # layer count near the max-degree lower bound
+    maxdeg = max(np.bincount(rows).max(), np.bincount(cols).max())
+    assert len(layers) <= int(1.5 * maxdeg) + 2
+
+
+def _random_sym(n, per_row, seed):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), per_row)
+    cols = rng.integers(0, n, size=n * per_row)
+    A = sp.coo_matrix((rng.standard_normal(n * per_row), (rows, cols)),
+                      shape=(n, n))
+    return sp.csr_matrix((A + A.T) * 0.5 + 2 * per_row * sp.eye(n)) \
+        .astype(np.float32)
+
+
+def test_routed_matvec_matches_scipy():
+    A = _random_sym(500, 8, seed=2)
+    R = build_routing_spmv(A)
+    D = DeviceRouted(R, interpret=True)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(500).astype(np.float32)
+    y = np.asarray(D.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=0,
+                               atol=1e-4 * np.abs(A @ x).max())
+
+
+def test_block_cg_on_routed_operand_matches_oracle():
+    """The gather-free operand drops into the unchanged block_cg host."""
+    A = _random_sym(300, 6, seed=4)
+    R = build_routing_spmv(A)
+    D = DeviceRouted(R, interpret=True)
+    b = np.random.default_rng(5).standard_normal(300).astype(np.float32)
+    res = block_cg(D, jnp.asarray(b), n_iterations=12)
+    _, hist = reference.cg(A.astype(np.float64), b.astype(np.float64),
+                           n_iterations=12, record_history=True)
+    h = np.asarray(res.residual_history).reshape(-1)
+    np.testing.assert_allclose(h, hist, rtol=1e-4, atol=1e-5 * hist[0])

@@ -1,0 +1,149 @@
+"""Pallas TPU kernel for the routing-network SpMV (see tpcg.ops.routing).
+
+``y = sum_l vals_l * benes_l(x)`` -- each layer routes the VMEM-resident
+x grid through 2*log2(m)-1 masked XOR-butterfly stages (cyclic rolls +
+three-way selects; pure VPU, no gathers), multiplies by that layer's
+values (already in output order) and accumulates into y.  Masks and
+values stream from HBM via the grid pipeline (double-buffered); x and y
+stay resident.
+
+Key property used: XOR partners never cross the lane<->sublane boundary,
+so stage stride s < 128 is a pure cyclic lane roll and s >= 128 a pure
+cyclic sublane roll -- each stage is two ``pltpu.roll`` + one select.
+
+Masks are bit-packed 16 stages x 2 bits per int32 word (int8 arrays
+crash this image's Mosaic compiler -- benchmarks/exp_bisect.py -- and
+unpacked int32 masks would quadruple the HBM stream).  Codes: 0 keep,
+1 take the +s roll, 2 take the -s roll.
+
+Replaces the gather SpMV for genuinely unstructured matrices (the
+reference's vector-CSR ``kernel/real/spmv.cl:5-50``); banded or
+RCM-bandable matrices take the DiaMatrix shift-multiply path instead.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .routing import RoutedSpmv, benes_strides
+
+C = 128          # lane width
+
+
+STAGES_PER_WORD = 16     # 2 bits per stage in an int32
+
+
+def pack_masks(masks: np.ndarray) -> np.ndarray:
+    """(L, S, m) int8 {-1,0,1} -> (L, ceil(S/16), m) int32 packed codes
+    (0 keep, 1 up(+s), 2 dn(-s))."""
+    L, S, m = masks.shape
+    W = -(-S // STAGES_PER_WORD)
+    code = np.where(masks > 0, 1, np.where(masks < 0, 2, 0)) \
+        .astype(np.uint32)
+    out = np.zeros((L, W, m), dtype=np.uint32)
+    for k in range(S):
+        out[:, k // STAGES_PER_WORD] |= code[:, k] << (
+            2 * (k % STAGES_PER_WORD))
+    return out.astype(np.int32)
+
+
+def _stage(t, code, s, rows):
+    """One butterfly stage on the (rows, 128) grid; code in {0,1,2}."""
+    if s < C:
+        up = pltpu.roll(t, C - s, 1)         # up[j] = t[j + s (mod 128)]
+        dn = pltpu.roll(t, s, 1)             # dn[j] = t[j - s]
+    else:
+        sr = s // C
+        up = pltpu.roll(t, rows - sr, 0)
+        dn = pltpu.roll(t, sr, 0)
+    return jnp.where(code == 1, up, jnp.where(code == 2, dn, t))
+
+
+def routed_matvec(routed: "DeviceRouted", x: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """y = A @ x via the routing network.  x: (m,) float32 (padded)."""
+    masks, vals = routed.masks, routed.vals   # packed int32 / f32
+    L, W, rows, _ = masks.shape
+    strides = benes_strides(rows * C)
+    S = len(strides)
+
+    def kernel(x_ref, m_ref, v_ref, y_ref):
+        l = pl.program_id(0)
+
+        @pl.when(l == 0)
+        def _():
+            y_ref[...] = jnp.zeros((rows, C), jnp.float32)
+
+        t = x_ref[...]
+        for k, s in enumerate(strides):
+            word = m_ref[0, k // STAGES_PER_WORD]
+            code = jax.lax.shift_right_logical(
+                word, jnp.int32(2 * (k % STAGES_PER_WORD))) & 3
+            t = _stage(t, code, s, rows)
+        y_ref[...] = y_ref[...] + v_ref[0] * t
+
+    xg = x.reshape(rows, C)
+    y = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((rows, C), lambda l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, rows, C), lambda l: (l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, C), lambda l: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, C), lambda l: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xg, masks, vals)
+    return y.reshape(-1)
+
+
+class DeviceRouted:
+    """Device-resident routed operand (jax arrays) + matvec interface.
+
+    Acts like the other device containers (`DiaMatrix`, `EllMatrix`):
+    ``matvec`` on flat (n,) or (n, nrhs) float32 vectors, so ``block_cg``
+    runs unchanged on top.
+    """
+
+    def __init__(self, routed: RoutedSpmv, interpret: bool = False):
+        L, S, m = routed.masks.shape
+        rows = m // C
+        self.n = routed.n
+        self.m = m
+        self.interpret = interpret
+        packed = pack_masks(routed.masks)
+        W = packed.shape[1]
+        self.masks = jnp.asarray(packed.reshape(L, W, rows, C))
+        self.vals = jnp.asarray(routed.vals.reshape(L, rows, C))
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        squeeze = x.ndim == 1
+        xm = x.reshape(self.n, -1)
+        cols = []
+        for r in range(xm.shape[1]):
+            xp = jnp.zeros(self.m, jnp.float32).at[: self.n].set(xm[:, r])
+            cols.append(routed_matvec(self, xp,
+                                      interpret=self.interpret)[: self.n])
+        y = jnp.stack(cols, axis=1)
+        return y[:, 0] if squeeze else y
+
+    def __matmul__(self, x):
+        return self.matvec(x)

@@ -204,6 +204,20 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
 
     Sglob, coef_np, b_global = build_operator(cfg, decomp)
     offsets = Sglob.offsets
+
+    # OshapeD inactive-node masking: zero the RHS (and below, the initial
+    # guesses) at inactive nodes (``p_h-PY_C-CL-multi-GPU.py:1429-1430,
+    # 2760-2762, 3482-3484``; masks are external input there, default
+    # O-shape hole here).
+    inactive = None
+    if cfg.oshape_d:
+        from ..problems.rhs import oshape_mask
+        mask_g = (np.asarray(cfg.inactive_mask)
+                  if cfg.inactive_mask is not None
+                  else oshape_mask(decomp.part.N))
+        b_global = b_global * mask_g
+        inactive = decomp.crop_grid(mask_g)
+
     bg = decomp.crop_grid(b_global)
     if planes:
         fdt = np.float32 if cfg.dtype == "complex64" else np.float64
@@ -260,6 +274,11 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
         x0 = generate_random_guess(decomp, dtype, cfg.seed, planes=planes)
     else:
         x0 = None
+    if inactive is not None and x0 is not None:
+        # masking happens after the consistency OL_update, like the
+        # reference's Generate_random (:2760-2762)
+        m = jnp.asarray(inactive).astype(x0.dtype)
+        x0 = x0 * (m[None] if planes else m)
 
     if callback is None:
         callback = Counter(verbose=0)
@@ -270,9 +289,13 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
                              maxiter=cfg.restart, norm=norm, wdot=wdot,
                              lincomb=lincomb, callback=callback)
     else:
+        chunk = cfg.fgmres_chunk
+        if chunk > 1 and prec is not None and cfg.use_cg == 5:
+            chunk = 1          # host-oracle preconditioner is unjittable
         res = fgmres(matvec, b, M=prec, x0=x0, tol=cfg.tol,
                      krylsize=cfg.restart, norm=norm, wdot=wdot,
-                     lincomb=lincomb, planes=planes, callback=callback)
+                     lincomb=lincomb, planes=planes, chunk=chunk,
+                     callback=callback)
     wall = time.time() - t0
 
     # post-solve true-residual verification (:3316-3337)

@@ -97,3 +97,17 @@ def rhs_all_boundaries_k2(N: int, k: float) -> np.ndarray:
     b[0, :] = k * k
     b[-1, :] = k * k
     return b
+
+
+def oshape_mask(N: int, inner: float = 1.0 / 3.0) -> np.ndarray:
+    """Default O-shape-domain inactive-node mask (``OshapeD``,
+    ``p_h-PY_C-CL-multi-GPU.py:3603-3605``): 1.0 on active nodes, 0.0 on
+    the inactive middle square hole of side ``inner * N`` (the reference
+    never populates ``InactiveNodes`` in-tree -- it is external input --
+    so this provides the canonical O-shaped domain it names).
+    """
+    m = np.ones((N, N), dtype=np.float64)
+    lo = int(round(N * (0.5 - inner / 2.0)))
+    hi = int(round(N * (0.5 + inner / 2.0)))
+    m[lo:hi, lo:hi] = 0.0
+    return m

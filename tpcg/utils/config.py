@@ -33,6 +33,9 @@ class HelmholtzConfig:
     gmres_ver: str = "fgmres"        # GMRES_VER (:3541)
     tol: float = 1e-6                # Tol (:3443)
     restart: int = 600               # restrt (:3504)
+    fgmres_chunk: int = 1            # Arnoldi steps fused per device call
+    #                                  (TPU latency optimization; 1 ==
+    #                                  reference behaviour, see fgmres)
 
     # variable-coefficient island (:3593-3605)
     var_coeff: bool = False          # VarCoeff
@@ -41,6 +44,16 @@ class HelmholtzConfig:
     mar_mult_out: float = 1.0        # MarMult_out
     mar_match: bool = True           # MarMatch
     mar_shift: int = 0               # Marshift
+
+    # O-shape domain / inactive-node masking (:3603-3605).  The reference
+    # declares ``OshapeD`` + per-subdomain 0/1 ``InactiveNodes`` masks and
+    # multiplies the RHS (:1429-1430), the random guess (:2760-2762) and
+    # the ones guess (:3482-3484) by them; the masks themselves are
+    # external input (never populated in the snapshot).  ``inactive_mask``
+    # here is a global (N, N) 0/1 grid (None + oshape_d=True -> the
+    # default middle-third O-shape hole, ``tpcg.problems.oshape_mask``).
+    oshape_d: bool = False           # OshapeD (:3604)
+    inactive_mask: object = None     # InactiveNodes (:3605), global grid
 
     # run control
     guess: int = 1                   # 1 ones, 2 random, else zeros (:3474)
