@@ -53,6 +53,13 @@ def run(tag, M, n, nnz, iters=200):
     import jax.numpy as jnp
     from tpcg import block_cg
     b = jnp.ones((n,), jnp.float32)
+    # containers keep host-side numpy leaves until first use; make the
+    # buffers device-resident BEFORE timing, or every call re-uploads
+    # the matrix through the tunnel (~48 MB/s) and measures transfers
+    M = jax.device_put(M)
+    # all containers (incl. DeviceRouted) are pytrees: pass as a jit
+    # argument, NOT a closure constant -- closed-over mask arrays get
+    # baked into the HLO and blow the remote-compile request limit
     fn = jax.jit(lambda A, b: block_cg(A, b, n_iterations=iters)
                  .residual_history[-1])
     rn = float(np.asarray(fn(M, b)))
@@ -94,17 +101,40 @@ def main():
     assert perm is not None and isinstance(M_r, DiaMatrix)
     rows.append(run("shuffled-rcm-dia", M_r, n, A_shuf.nnz))
     Ar = random_spd(n, 100)         # ~100/row unstructured
-    rows.append(run("random-ell", EllMatrix.from_scipy(
-        Ar.astype(np.float32)), n, Ar.nnz))
+    if "--ell" in sys.argv:         # the old gather path, for comparison
+        rows.append(run("random-ell", EllMatrix.from_scipy(
+            Ar.astype(np.float32)), n, Ar.nnz))
+    # routing-network path: Benes-masked butterfly stages instead of
+    # gathers (tpcg/ops/routing.py); preprocessing is one-time per matrix
+    # and cached next to this script.
+    import time as _t
+    from tpcg.ops.routing import build_routing_spmv
+    from tpcg.ops.route_spmv import DeviceRouted
+    cache = os.path.join(os.path.dirname(__file__),
+                         f"_routed_{n}_{Ar.nnz}.npz")
+    t0 = _t.perf_counter()
+    if os.path.exists(cache):
+        import tpcg.ops.routing as _rt
+        z = np.load(cache)
+        R = _rt.RoutedSpmv(masks=z["masks"], vals=z["vals"],
+                           n=int(z["n"]))
+    else:
+        R = build_routing_spmv(Ar.astype(np.float32))
+        np.savez(cache, masks=R.masks, vals=R.vals, n=R.n)
+    print(f"# routing preprocessing/load: {_t.perf_counter()-t0:.1f}s, "
+          f"{R.n_layers} layers", flush=True)
+    rows.append(run("random-routed", DeviceRouted(R), n, Ar.nnz))
 
     out = ["# General-sparse CG (m_t1 size class, real f32, 200 its, "
            "TPU v5e)", "",
            "Reference m_t1 (n=97,578, nnz=9.75M): 7.899 GFLOPS on "
            "RTX 2080S; 0.248 on i5-8250U (report Fig. 5).", "",
+           "random-routed = genuinely unstructured input via the "
+           "routing-network SpMV (tpcg/ops/routing.py): gather-free "
+           "Benes-masked butterfly layers; one-time preprocessing "
+           "cached. (The old random-ell gather path measured 0.19 "
+           "GFLOPS; pass --ell to reproduce.)", "",
            "| case | n | nnz | time (s) | GFLOPS |", "|---|---|---|---|---|"]
-    # (random-ell is the honest unstructured-gather path: inherently
-    #  gather-bound on TPU; real Matrix Market FE matrices take the RCM
-    #  route instead.)
     for tag, nn, nz, dt, gf in rows:
         out.append(f"| {tag} | {nn} | {nz} | {dt:.4f} | {gf:.2f} |")
     path = os.path.join(os.path.dirname(__file__), "GENERAL_SPARSE.md")

@@ -73,3 +73,52 @@ def test_block_cg_on_routed_operand_matches_oracle():
                            n_iterations=12, record_history=True)
     h = np.asarray(res.residual_history).reshape(-1)
     np.testing.assert_allclose(h, hist, rtol=1e-4, atol=1e-5 * hist[0])
+
+
+def test_to_device_matrix_route_fallback():
+    """Unstructured real matrices opt into the routed operand instead of
+    the slow ELL gather path."""
+    from tpcg.sparse import DiaMatrix, to_device_matrix
+
+    A = _random_sym(256, 5, seed=9)
+    M, perm = to_device_matrix(A, route_fallback=True)
+    assert isinstance(M, DeviceRouted) and perm is None
+    # banded input still takes the DIA path
+    import scipy.sparse as sp
+    B = sp.csr_matrix(sp.diags([np.ones(255), 4 * np.ones(256),
+                                np.ones(255)], [-1, 0, 1])).astype(
+                                    np.float32)
+    M2, _ = to_device_matrix(B, route_fallback=True)
+    assert isinstance(M2, DiaMatrix)
+
+
+def test_routed_pair_complex_matches_scipy():
+    """Complex routed operand: shared masks, Karatsuba value planes,
+    block_cg_planes on top (the mhd1280b ingestion class)."""
+    from tpcg.ops.cplx import block_cg_planes, from_planes, to_planes
+    from tpcg.ops.route_spmv import routed_pair
+
+    rng = np.random.default_rng(11)
+    n, per_row = 256, 6
+    rows = np.repeat(np.arange(n), per_row)
+    cols = rng.integers(0, n, size=n * per_row)
+    data = (rng.standard_normal(n * per_row)
+            + 1j * rng.standard_normal(n * per_row)) * 0.1
+    A = sp.coo_matrix((data, (rows, cols)), shape=(n, n))
+    A = sp.csr_matrix((A + A.T) * 0.5 + 2 * per_row * sp.eye(n)) \
+        .astype(np.complex64)
+    R = build_routing_spmv(A)
+    P = routed_pair(R, interpret=True)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64)
+    y = from_planes(np.asarray(P.matvec(to_planes(x, jnp.float32))))
+    np.testing.assert_allclose(y, A @ x, rtol=0,
+                               atol=1e-4 * np.abs(A @ x).max())
+    b = (rng.standard_normal((n, 1)) + 1j * rng.standard_normal((n, 1)))
+    res = block_cg_planes(P, to_planes(b.astype(np.complex64), jnp.float32),
+                          n_iterations=10)
+    _, hist = reference.cg(A.astype(np.complex128), b, n_iterations=10,
+                           record_history=True)
+    h = np.asarray(res.residual_history)[:, 0]
+    np.testing.assert_allclose(h, hist[:, 0], rtol=1e-3,
+                               atol=1e-4 * hist[0, 0])

@@ -112,7 +112,10 @@ class DeviceRouted:
 
     Acts like the other device containers (`DiaMatrix`, `EllMatrix`):
     ``matvec`` on flat (n,) or (n, nrhs) float32 vectors, so ``block_cg``
-    runs unchanged on top.
+    runs unchanged on top.  Registered as a pytree so it can be a jit
+    ARGUMENT -- closing over the (hundreds of MB) mask arrays bakes them
+    into the HLO as constants and blows the remote-compile request
+    limit on this backend (HTTP 413).
     """
 
     def __init__(self, routed: RoutedSpmv, interpret: bool = False):
@@ -125,6 +128,16 @@ class DeviceRouted:
         W = packed.shape[1]
         self.masks = jnp.asarray(packed.reshape(L, W, rows, C))
         self.vals = jnp.asarray(routed.vals.reshape(L, rows, C))
+
+    def tree_flatten(self):
+        return (self.masks, self.vals), (self.n, self.m, self.interpret)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.masks, obj.vals = children
+        obj.n, obj.m, obj.interpret = aux
+        return obj
 
     @property
     def shape(self):
@@ -147,3 +160,37 @@ class DeviceRouted:
 
     def __matmul__(self, x):
         return self.matvec(x)
+
+
+jax.tree_util.register_pytree_node(
+    DeviceRouted, DeviceRouted.tree_flatten, DeviceRouted.tree_unflatten)
+
+
+def _from_parts(masks, vals_np, n, m, interpret):
+    obj = DeviceRouted.__new__(DeviceRouted)
+    obj.masks = masks
+    obj.vals = jnp.asarray(vals_np.reshape(masks.shape[0], m // C, C))
+    obj.n, obj.m, obj.interpret = n, m, interpret
+    return obj
+
+
+def routed_pair(routed: RoutedSpmv, interpret: bool = False):
+    """Complex routed operand: one shared routing (the sparsity pattern),
+    three value planes [Re, Im, Re+Im] feeding the Karatsuba
+    ``PairOperator`` -- complex-as-planes SpMV with zero extra kernels
+    (mirrors ``make_pair_operator`` for the stencil/DIA containers)."""
+    from .cplx import PairOperator
+
+    v = routed.vals
+    if not np.iscomplexobj(v):
+        base = DeviceRouted(routed, interpret=interpret)
+        return PairOperator(ar=base, ai=None, ars=None, real_only=True)
+    packed = pack_masks(routed.masks)
+    L, W, m = packed.shape[0], packed.shape[1], routed.m
+    masks = jnp.asarray(packed.reshape(L, W, m // C, C))
+    re = np.ascontiguousarray(v.real.astype(np.float32))
+    im = np.ascontiguousarray(v.imag.astype(np.float32))
+    return PairOperator(
+        ar=_from_parts(masks, re, routed.n, m, interpret),
+        ai=_from_parts(masks, im, routed.n, m, interpret),
+        ars=_from_parts(masks, re + im, routed.n, m, interpret))

@@ -263,16 +263,21 @@ class RoutedSpmv:
 
     def matvec_numpy(self, x: np.ndarray) -> np.ndarray:
         """Host simulation (tests)."""
-        xp = np.zeros(self.m, dtype=np.float32)
+        dt = np.result_type(self.vals.dtype, np.asarray(x).dtype)
+        xp = np.zeros(self.m, dtype=dt)
         xp[: self.n] = x
-        y = np.zeros(self.m, dtype=np.float32)
+        y = np.zeros(self.m, dtype=dt)
         for l in range(self.n_layers):
             y += self.vals[l] * apply_benes_numpy(self.masks[l], xp)
         return y[: self.n]
 
 
 def build_routing_spmv(A, seed: int = 0) -> RoutedSpmv:
-    """Preprocess a scipy sparse matrix into routed-layer form."""
+    """Preprocess a scipy sparse matrix into routed-layer form.
+
+    Complex matrices keep complex64 values (one routing of the shared
+    sparsity pattern; the runtime splits Karatsuba planes --
+    ``tpcg.ops.route_spmv.routed_pair``)."""
     import scipy.sparse as sp
     A = sp.coo_matrix(A)
     n = A.shape[0]
@@ -280,8 +285,9 @@ def build_routing_spmv(A, seed: int = 0) -> RoutedSpmv:
     layers = assign_layers(A.row.astype(np.int64), A.col.astype(np.int64),
                            n, seed=seed)
     L = len(layers)
+    vdt = np.complex64 if np.iscomplexobj(A.data) else np.float32
     masks = np.zeros((L, 2 * int(np.log2(m)) - 1, m), dtype=np.int8)
-    vals = np.zeros((L, m), dtype=np.float32)
+    vals = np.zeros((L, m), dtype=vdt)
     for l, (lrows, lidx) in enumerate(layers):
         lcols = A.col[lidx]
         perm = np.full(m, -1, dtype=np.int64)
@@ -293,5 +299,5 @@ def build_routing_spmv(A, seed: int = 0) -> RoutedSpmv:
         free_src = np.where(~used)[0]
         perm[free_tgt] = free_src
         masks[l] = benes_masks(perm)
-        vals[l, lrows] = A.data[lidx].astype(np.float32)
+        vals[l, lrows] = A.data[lidx].astype(vdt)
     return RoutedSpmv(masks=masks, vals=vals, n=n)

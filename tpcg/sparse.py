@@ -278,7 +278,8 @@ def _dia_worthwhile(A, prefer_dia_band: int) -> bool:
             and len(offs) <= prefer_dia_band)
 
 
-def to_device_matrix(A, prefer_dia_band: int = 4096, reorder: bool = False):
+def to_device_matrix(A, prefer_dia_band: int = 4096, reorder: bool = False,
+                     route_fallback: bool = False):
     """Pick the best device container for a scipy sparse matrix.
 
     Banded matrices with a modest number of distinct diagonals become
@@ -294,17 +295,28 @@ def to_device_matrix(A, prefer_dia_band: int = 4096, reorder: bool = False):
     the container represents ``A[perm][:, perm]``, so solve with
     ``b[perm]`` and un-permute the solution.  Dot products and hence CG
     residual histories are permutation-invariant.
+
+    ``route_fallback=True`` (real matrices, implies the ``reorder``
+    return convention): when neither the natural nor the RCM ordering is
+    band-worthy, build the routing-network operand
+    (``tpcg.ops.route_spmv.DeviceRouted``) instead of the slow ELL
+    gather path.  Preprocessing costs minutes for ~10M nnz (one-time,
+    amortized over the fixed-iteration solves this library targets).
     """
     import scipy.sparse as sp
     A = sp.csr_matrix(A)
     if _dia_worthwhile(A, prefer_dia_band):
         M = DiaMatrix.from_scipy(A)
-        return (M, None) if reorder else M
-    if reorder:
+        return (M, None) if (reorder or route_fallback) else M
+    if reorder or route_fallback:
         from scipy.sparse.csgraph import reverse_cuthill_mckee
         perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
         Ap = A[perm][:, perm]
         if _dia_worthwhile(Ap, prefer_dia_band):
             return DiaMatrix.from_scipy(Ap), perm
+        if route_fallback and not np.iscomplexobj(A.data):
+            from .ops.routing import build_routing_spmv
+            from .ops.route_spmv import DeviceRouted
+            return DeviceRouted(build_routing_spmv(A)), None
         return EllMatrix.from_scipy(A), None
     return EllMatrix.from_scipy(A)
