@@ -43,22 +43,21 @@ def main():
         bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
         x0 = jnp.zeros_like(bp)
 
-        # fused VMEM kernel at small batch (latency-bound regime); the
-        # XLA streaming planes path wins from nb~8 up and has no capacity
-        # wall -- the reference hits a hard CL_OUT_OF_RESOURCES cap at
-        # b=47 instead (report SV).
+        # fused VMEM kernel (lane-packed per-RHS scalars: batch capacity
+        # bounded by VMEM only -- the reference hits a hard
+        # CL_OUT_OF_RESOURCES cap at b=47 instead, report SV); the XLA
+        # streaming planes path is the fallback.
         run = None
-        if nb < 8:
-            path = "fused-vmem"
-            try:
-                fn = jax.jit(lambda c, b, x: fused_cg_stencil(
-                    A.offsets, c, b, x, iters)[1][-1])
-                rn = np.asarray(fn(coef3, bp, x0))  # compile + warm
-                assert np.all(np.isfinite(rn)), (nb, rn)
-                run = lambda: np.asarray(fn(coef3, bp, x0))
-            except Exception as e:                  # capacity/compile
-                print(f"# fused path failed at nb={nb}: "
-                      f"{str(e)[:120]}", flush=True)
+        path = "fused-vmem"
+        try:
+            fn = jax.jit(lambda c, b, x: fused_cg_stencil(
+                A.offsets, c, b, x, iters)[1][-1])
+            rn = np.asarray(fn(coef3, bp, x0))  # compile + warm
+            assert np.all(np.isfinite(rn)), (nb, rn)
+            run = lambda: np.asarray(fn(coef3, bp, x0))
+        except Exception as e:                  # capacity/compile
+            print(f"# fused path failed at nb={nb}: "
+                  f"{str(e)[:120]}", flush=True)
         if run is None:
             path = "xla-stream"
             b2 = bp.reshape(2, nb, n).transpose(0, 2, 1)
