@@ -17,11 +17,6 @@ def main():
     from tpcg.ops.fused_cg_const import fused_cg_const
     from tpcg.problems import helm_fe, plane_wave_rhs
 
-    # ---- butterfly probe (imported to reuse the same process) ----------
-    import importlib
-    bf = importlib.import_module("exp_butterfly")
-    bf.main()
-
     # ---- N=1024 diagnosis ----------------------------------------------
     for N, parts in ((768, ("rows", "cols")), (1024, ()), (1024, ("rows",)),
                      (1024, ("cols",))):
