@@ -49,6 +49,37 @@ def main():
     rn = np.asarray(solve(coef3, b, x0))
     assert np.all(np.isfinite(rn)), rn
 
+    # Parity gate: the compiled fused kernel's residual history must match
+    # an independent XLA streaming program (block_cg_planes) on the same
+    # problem before any GFLOPS are reported -- a miscompiled-but-finite
+    # kernel must not produce a benchmark number.  Mirrors the reference's
+    # cross-implementation oracle strategy (SURVEY.md section 4.5).
+    from tpcg.ops import block_cg_planes, make_pair_operator
+    from tpcg.ops.fused_cg import fused_cg_stencil
+
+    gate_iters = 100
+
+    @jax.jit
+    def fused_hist(coef3, b, x0):
+        return fused_cg_stencil(A.offsets, coef3, b, x0, gate_iters)[1]
+
+    P = make_pair_operator(A, dtype=jnp.float32)
+    b_flat = b.reshape(2, n, 1)
+
+    @jax.jit
+    def stream_hist(P, b_flat):
+        return block_cg_planes(P, b_flat,
+                               n_iterations=gate_iters).residual_history
+
+    hf = np.asarray(fused_hist(coef3, b, x0))[:, 0]
+    hs = np.asarray(stream_hist(P, b_flat))[:, 0]
+    rel = np.abs(hf - hs) / (np.abs(hs) + 1e-30)
+    if not (np.all(np.isfinite(hf)) and rel.max() <= 1e-2):
+        raise SystemExit(
+            f"PARITY FAIL: fused vs streaming residual history diverges "
+            f"(max rel {rel.max():.3e} over {gate_iters} iterations); "
+            "refusing to report GFLOPS")
+
     reps = 5
     times = []
     for _ in range(reps):
