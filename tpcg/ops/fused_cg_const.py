@@ -74,30 +74,19 @@ def _planes3(a, dtype):
     return np.stack([a.real, a.imag, a.real + a.imag]).astype(dtype)
 
 
-def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
-                   interpret: bool = False,
-                   _parts: tuple = ("rows", "cols")):
-    """Fixed-iteration block CG on a constant-coefficient Stencil2D.
+def prepare_const(stencil, dtype=np.float32):
+    """Host-side preprocessing for :func:`fused_cg_const_planes`.
 
-    b : complex (B, Nv, Nh) or (Nv, Nh).  Same numerics/returns as
-    ``tpcg.ops.fused_cg.fused_cg``.
+    Returns ``(cr, ci, strips4)``: the interior taps as static python
+    float tuples and the boundary corrections as a tuple of four jnp
+    arrays ``(sb, st, sl, sr)``.  Build these ONCE outside jit and pass
+    ``strips4`` (plus b/x0 planes) as jit *arguments* -- tracing them as
+    closure constants bakes the arrays into the HLO, and on the tunneled
+    backend an 8 MB constant blows up the remote compile request.
     """
     offsets = stencil.offsets
     nv, nh = stencil.grid
     consts, strips = split_const_stencil(stencil)
-    P = _pad_for(offsets)
-    pv, ph = nv + 2 * P, nh + 2 * P
-
-    b = np.asarray(b).reshape(-1, nv, nh)
-    nb = b.shape[0]
-    dtype = np.float32
-    bp = jnp.asarray(np.stack([b.real, b.imag]).astype(dtype))
-    if x0 is None:
-        x0p = jnp.zeros((2, nb, nv, nh), dtype)
-    else:
-        x0 = np.asarray(x0).reshape(-1, nv, nh)
-        x0p = jnp.asarray(np.stack([x0.real, x0.imag]).astype(dtype))
-
     # Row corrections as (3, noff, 1, Nh) broadcastable strips (lane-wide
     # ops).  Column corrections as one-hot *edge blocks* of lane width
     # W=min(nh,128): a width-1 column op is ~100x lane-inefficient on the
@@ -112,9 +101,55 @@ def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
     srf[:, :, :, W - 1] = _planes3(strips["right"], dtype)
     sl = jnp.asarray(slf)
     sr = jnp.asarray(srf)
-    # interior scalar taps baked in as python floats (no memory at all)
     cr = tuple(float(v) for v in consts.real)
     ci = tuple(float(v) for v in consts.imag)
+    return cr, ci, (sb, st, sl, sr)
+
+
+def fused_cg_const(stencil, b, x0=None, n_iterations: int = 10,
+                   interpret: bool = False,
+                   _parts: tuple = ("rows", "cols")):
+    """Fixed-iteration block CG on a constant-coefficient Stencil2D.
+
+    b : complex (B, Nv, Nh) or (Nv, Nh).  Same numerics/returns as
+    ``tpcg.ops.fused_cg.fused_cg``.  Convenience wrapper -- for use
+    under ``jax.jit`` call :func:`prepare_const` once and jit
+    :func:`fused_cg_const_planes` with the arrays as arguments.
+    """
+    nv, nh = stencil.grid
+    cr, ci, strips4 = prepare_const(stencil)
+
+    b = np.asarray(b).reshape(-1, nv, nh)
+    nb = b.shape[0]
+    dtype = np.float32
+    bp = jnp.asarray(np.stack([b.real, b.imag]).astype(dtype))
+    if x0 is None:
+        x0p = jnp.zeros((2, nb, nv, nh), dtype)
+    else:
+        x0 = np.asarray(x0).reshape(-1, nv, nh)
+        x0p = jnp.asarray(np.stack([x0.real, x0.imag]).astype(dtype))
+    return fused_cg_const_planes(stencil.offsets, stencil.grid, cr, ci,
+                                 strips4, bp, x0p, n_iterations,
+                                 interpret=interpret, _parts=_parts)
+
+
+def fused_cg_const_planes(offsets, grid, cr, ci, strips4, bp, x0p,
+                          n_iterations: int, interpret: bool = False,
+                          _parts: tuple = ("rows", "cols")):
+    """Jit-safe core: all array operands traced, all structure static.
+
+    offsets/grid/cr/ci/_parts : static python tuples.
+    strips4 : (sb, st, sl, sr) from :func:`prepare_const`.
+    bp, x0p : (2, B, Nv, Nh) float32 planes.
+    Returns (x_planes, residual_history) like ``fused_cg_stencil``.
+    """
+    nv, nh = grid
+    P = _pad_for(offsets)
+    pv, ph = nv + 2 * P, nh + 2 * P
+    nb = bp.shape[1]
+    dtype = np.float32
+    W = min(nh, 128)
+    sb, st, sl, sr = strips4
 
     def apply_const(dr_pad, di_pad, sb_ref, st_ref, sl_ref, sr_ref,
                     qr_s, qi_s):
