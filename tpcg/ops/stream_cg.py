@@ -3,21 +3,26 @@
 The VMEM-resident kernels (``tpcg.ops.fused_cg`` / ``fused_cg_const``)
 cover grids up to N=512; the remote Mosaic compiler rejects the
 monolithic N=1024 program outright.  This module is the large-N path:
-CG state (x, r, d, q) lives in HBM and each iteration runs TWO
+CG state (x, r, d, q) lives in HBM and each iteration runs exactly TWO
 grid-blocked Pallas kernels whose row-block pipelines stream it at HBM
-bandwidth:
+bandwidth -- and *nothing else*: no per-iteration XLA glue at all.
 
   K1:  d_new = r + beta * d     (on block rows + P halo rows)
        q     = A d_new          (const interior taps + static edge taps)
        dq    = <d_new, q>       (unconjugated; SMEM accumulator)
+       alpha = delta / dq       (scalar SMEM math at the last grid step)
   K2:  x    += alpha * d_new
        r    -= alpha * q
-       delta = <r, r>           (SMEM accumulator)
+       delta'= <r, r>           (SMEM accumulator)
+       beta  = delta' / delta   (last grid step)
 
-alpha/beta are (2,)-plane complex scalars computed between the kernels
-by ordinary XLA ops; the whole n_iterations loop is one ``lax.scan``
-inside jit -- zero host round-trips (the reference pays 4 per iteration,
-``clcg.c:297-419``; report section VI calls that the main bottleneck).
+Halo rows travel through side outputs: every block writes its first/last
+P rows into a (G, 2P, Nh) boundary array, and the next kernel reads its
+neighbours' entries via shifted BlockSpec index maps (clamped at the
+edges and masked by a scalar).  The whole fixed-iteration loop is one
+``lax.scan`` of two pallas calls -- zero host round-trips (the reference
+pays 4 per iteration, ``clcg.c:297-419``; report section VI calls that
+the main bottleneck) and zero XLA kernel launches between them.
 
 HBM traffic: 10 state planes/iteration (~40 B per complex unknown) and
 NO coefficient traffic at all -- the interior taps and the left/right
@@ -25,11 +30,6 @@ edge taps are compile-time scalars (``prepare_stream`` validates the
 edge constancy; the corner deviations live in the two row strips, which
 absorb the uniform edge application on rows 0 / Nv-1).  The XLA
 streaming path moves ~4x more (27 coefficient planes + 16 state planes).
-
-Halo rows are pre-extracted XLA-side into a dense (G, 2P, Nh) array per
-operand (a few KB), so every Pallas block is uniform: no overlapping
-BlockSpecs, no manual DMA, no gathers -- the shapes this backend's
-Mosaic compiler is known to digest.
 
 Reference semantics preserved exactly: COCG unconjugated dots
 (``kernel/complex/vdot.cl:15``), fixed iteration count with the
@@ -45,7 +45,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cplx import cdiv
 from .fused_cg import _pad_for
 from .fused_cg_const import split_const_stencil
 
@@ -107,105 +106,161 @@ def _pick_block_rows(nv: int) -> int:
     return nv
 
 
-def _halos(v, G, Bv, P, nh):
-    """(2, nv, nh) -> (2, G, 2P, nh): rows just outside each block
-    (zeros beyond the grid)."""
+def _boundary(v, G, Bv, P, nh):
+    """(2, nv, nh) -> (2, G, 2P, nh): each block's own first/last P rows
+    (the layout the kernels emit as side outputs)."""
     v3 = v.reshape(2, G, Bv, nh)
-    z = jnp.zeros((2, 1, P, nh), v.dtype)
-    tops = jnp.concatenate([z, v3[:, :-1, Bv - P:, :]], axis=1)
-    bots = jnp.concatenate([v3[:, 1:, :P, :], z], axis=1)
-    return jnp.concatenate([tops, bots], axis=2)
+    return jnp.concatenate([v3[:, :, :P, :], v3[:, :, Bv - P:, :]], axis=2)
 
 
-def stream_cg_const_planes(offsets, grid, taps, strips2, bp, x0p,
-                           n_iterations: int, block_rows: int = None,
-                           interpret: bool = False):
-    """Fixed-iteration single-RHS complex CG, HBM-streaming kernels.
+def _smith_cdiv(ar, ai, br, bi):
+    """Scalar Smith-scaled complex division (mirrors cplx.cdiv)."""
+    m = jnp.maximum(jnp.abs(br), jnp.abs(bi))
+    ms = jnp.where(m == 0, 1.0, m)
+    b0 = br / ms
+    b1 = bi / ms
+    dd = (b0 * b0 + b1 * b1) * ms
+    return (ar * b0 + ai * b1) / dd, (ai * b0 - ar * b1) / dd
 
-    offsets/grid/taps : static python structure (see prepare_stream).
-    strips2 : (sb, st) from prepare_stream -- pass as jit ARGUMENTS.
-    bp, x0p : (2, Nv, Nh) float32 planes.
-    Returns (x_planes (2, Nv, Nh), residual_history (n_iterations+1,)).
+
+def _build_kernels(offsets, grid, taps, Bv, interpret=False):
+    """Build (k1, k2) pallas callables for one (grid, Bv) configuration.
+
+    k1(strips2, beta2, delta2, r, d, Sr, Sd)
+        -> (dnew, q, Sdnew, alpha_done (4,1))
+    k2(alpha_done, delta2, x, d, r, q)
+        -> (xn, rn, Srn, beta2 (2,1), delta_new2 (2,1), hist (1,1))
+    S* are the (2, G, 2P, Nh) boundary-row side arrays (_boundary).
+    Module-level so probes/tests can drive the kernels in isolation.
     """
     nv, nh = grid
     cr, ci, lcr, lci, rcr, rci = taps
     P = _pad_for(offsets)
-    Bv = block_rows or _pick_block_rows(nv)
     assert nv % Bv == 0, (nv, Bv)
     G = nv // Bv
     W = min(nh, 128)
     noff = len(offsets)
-    sb, st = strips2
 
     blk = pl.BlockSpec((2, Bv, nh), lambda i: (0, i, 0))
-    hblk = pl.BlockSpec((2, 1, 2 * P, nh), lambda i: (0, i, 0, 0))
+    sblk = pl.BlockSpec((2, 1, 2 * P, nh), lambda i: (0, i, 0, 0))
+    sblk_m1 = pl.BlockSpec((2, 1, 2 * P, nh),
+                           lambda i: (0, jnp.maximum(i - 1, 0), 0, 0))
+    sblk_p1 = pl.BlockSpec((2, 1, 2 * P, nh),
+                           lambda i: (0, jnp.minimum(i + 1, G - 1), 0, 0))
     strip = pl.BlockSpec((2, noff, 1, nh), lambda i: (0, 0, 0, 0))
     smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
-    smem_out = pl.BlockSpec((2, 1), lambda i: (0, 0),
+
+    def smem_out(m):
+        return pl.BlockSpec((m, 1), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
 
-    def k1_kernel(beta_ref, r_ref, d_ref, rh_ref, dh_ref, sb_ref, st_ref,
-                  dnew_ref, q_ref, dq_ref, dpr, dpi):
+    def k1_kernel(beta_ref, delta_ref, r_ref, d_ref, srm_ref, srp_ref,
+                  sdm_ref, sdp_ref, sb_ref, st_ref,
+                  dnew_ref, q_ref, sdn_ref, al_ref, dpr, dpi, dq_acc):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            dq_ref[0, 0] = 0.0
-            dq_ref[1, 0] = 0.0
+            dq_acc[0, 0] = 0.0
+            dq_acc[1, 0] = 0.0
+            # zero the padded scratch once per call; lane borders and
+            # (for edge blocks) missing halo rows stay zero because the
+            # per-step writes below never touch them out of range.
+            dpr[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
+            dpi[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
 
         br = beta_ref[0, 0]
         bi = beta_ref[1, 0]
+        tm = jnp.where(i > 0, 1.0, 0.0).astype(_F)
+        bm = jnp.where(i < G - 1, 1.0, 0.0).astype(_F)
         dnr = r_ref[0] + br * d_ref[0] - bi * d_ref[1]
         dni = r_ref[1] + br * d_ref[1] + bi * d_ref[0]
-        hdr = rh_ref[0, 0] + br * dh_ref[0, 0] - bi * dh_ref[1, 0]
-        hdi = rh_ref[1, 0] + br * dh_ref[1, 0] + bi * dh_ref[0, 0]
+        # halo rows: top = last P rows of block i-1, bottom = first P
+        # rows of block i+1 (index maps clamped; masked at the edges)
+        tr_r = tm * (srm_ref[0, 0, P:2 * P, :]
+                     + br * sdm_ref[0, 0, P:2 * P, :]
+                     - bi * sdm_ref[1, 0, P:2 * P, :])
+        tr_i = tm * (srm_ref[1, 0, P:2 * P, :]
+                     + br * sdm_ref[1, 0, P:2 * P, :]
+                     + bi * sdm_ref[0, 0, P:2 * P, :])
+        br_r = bm * (srp_ref[0, 0, 0:P, :]
+                     + br * sdp_ref[0, 0, 0:P, :]
+                     - bi * sdp_ref[1, 0, 0:P, :])
+        br_i = bm * (srp_ref[1, 0, 0:P, :]
+                     + br * sdp_ref[1, 0, 0:P, :]
+                     + bi * sdp_ref[0, 0, 0:P, :])
         dnew_ref[0] = dnr
         dnew_ref[1] = dni
-        # padded scratch: halo rows + main rows, zero lane borders
-        dpr[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
-        dpi[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
-        dpr[0:P, P:P + nh] = hdr[0:P]
-        dpi[0:P, P:P + nh] = hdi[0:P]
+        sdn_ref[0, 0, 0:P, :] = dnr[0:P]
+        sdn_ref[1, 0, 0:P, :] = dni[0:P]
+        sdn_ref[0, 0, P:2 * P, :] = dnr[Bv - P:Bv]
+        sdn_ref[1, 0, P:2 * P, :] = dni[Bv - P:Bv]
+        dpr[0:P, P:P + nh] = tr_r
+        dpi[0:P, P:P + nh] = tr_i
         dpr[P:P + Bv, P:P + nh] = dnr
         dpi[P:P + Bv, P:P + nh] = dni
-        dpr[P + Bv:2 * P + Bv, P:P + nh] = hdr[P:2 * P]
-        dpi[P + Bv:2 * P + Bv, P:P + nh] = hdi[P:2 * P]
+        dpr[P + Bv:2 * P + Bv, P:P + nh] = br_r
+        dpi[P + Bv:2 * P + Bv, P:P + nh] = br_i
         # interior constant taps (compile-time scalars: zero VMEM, zero
-        # HBM -- the matrix costs nothing)
-        qr = jnp.zeros((Bv, nh), _F)
-        qi = jnp.zeros((Bv, nh), _F)
+        # HBM -- the matrix costs nothing).  Taps with EQUAL coefficients
+        # (FE stencils: 4 edge neighbours, 2/4 diagonals) are grouped:
+        # sum the shifted fields first, multiply by the coefficient once
+        # -- cuts the VPU work of the 7-point helm_fe apply by ~40%.
+        igroups = {}
         for s, (dm, dj) in enumerate(offsets):
             if cr[s] == 0.0 and ci[s] == 0.0:
                 continue
-            xr = dpr[P + dm:P + dm + Bv, P + dj:P + dj + nh]
-            xi = dpi[P + dm:P + dm + Bv, P + dj:P + dj + nh]
-            if cr[s] != 0.0:
-                qr = qr + cr[s] * xr
-                qi = qi + cr[s] * xi
-            if ci[s] != 0.0:
-                qr = qr - ci[s] * xi
-                qi = qi + ci[s] * xr
+            igroups.setdefault((cr[s], ci[s]), []).append((dm, dj))
+        qr = jnp.zeros((Bv, nh), _F)
+        qi = jnp.zeros((Bv, nh), _F)
+        for (gr, gi), offs in igroups.items():
+            (dm, dj) = offs[0]
+            sxr = dpr[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            sxi = dpi[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            for (dm, dj) in offs[1:]:
+                sxr = sxr + dpr[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+                sxi = sxi + dpi[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            if gr != 0.0:
+                qr = qr + gr * sxr
+                qi = qi + gr * sxi
+            if gi != 0.0:
+                qr = qr - gi * sxi
+                qi = qi + gi * sxr
         # uniform left/right edge taps: one-hot W-wide masked blocks (a
         # width-1 column op is ~100x lane-inefficient; rows 0/Nv-1 are
         # compensated inside the adjusted row strips)
         lanes = lax.broadcasted_iota(jnp.int32, (Bv, W), 1)
         lm = (lanes == 0).astype(_F)
         rm = (lanes == W - 1).astype(_F)
+        lgroups = {}
+        rgroups = {}
+        for s, (dm, dj) in enumerate(offsets):
+            if lcr[s] != 0.0 or lci[s] != 0.0:
+                lgroups.setdefault((lcr[s], lci[s]), []).append((dm, dj))
+            if rcr[s] != 0.0 or rci[s] != 0.0:
+                rgroups.setdefault((rcr[s], rci[s]), []).append((dm, dj))
         alr = jnp.zeros((Bv, W), _F)
         ali = jnp.zeros((Bv, W), _F)
         arr = jnp.zeros((Bv, W), _F)
         ari = jnp.zeros((Bv, W), _F)
-        for s, (dm, dj) in enumerate(offsets):
-            if lcr[s] != 0.0 or lci[s] != 0.0:
-                xr = dpr[P + dm:P + dm + Bv, P + dj:P + dj + W]
-                xi = dpi[P + dm:P + dm + Bv, P + dj:P + dj + W]
-                alr = alr + lcr[s] * xr - lci[s] * xi
-                ali = ali + lcr[s] * xi + lci[s] * xr
-            if rcr[s] != 0.0 or rci[s] != 0.0:
-                xr = dpr[P + dm:P + dm + Bv, P + nh - W + dj:P + nh + dj]
-                xi = dpi[P + dm:P + dm + Bv, P + nh - W + dj:P + nh + dj]
-                arr = arr + rcr[s] * xr - rci[s] * xi
-                ari = ari + rcr[s] * xi + rci[s] * xr
+        for (gr, gi), offs in lgroups.items():
+            sxr = jnp.zeros((Bv, W), _F)
+            sxi = jnp.zeros((Bv, W), _F)
+            for (dm, dj) in offs:
+                sxr = sxr + dpr[P + dm:P + dm + Bv, P + dj:P + dj + W]
+                sxi = sxi + dpi[P + dm:P + dm + Bv, P + dj:P + dj + W]
+            alr = alr + gr * sxr - gi * sxi
+            ali = ali + gr * sxi + gi * sxr
+        for (gr, gi), offs in rgroups.items():
+            sxr = jnp.zeros((Bv, W), _F)
+            sxi = jnp.zeros((Bv, W), _F)
+            for (dm, dj) in offs:
+                sxr = sxr + dpr[P + dm:P + dm + Bv,
+                                P + nh - W + dj:P + nh + dj]
+                sxi = sxi + dpi[P + dm:P + dm + Bv,
+                                P + nh - W + dj:P + nh + dj]
+            arr = arr + gr * sxr - gi * sxi
+            ari = ari + gr * sxi + gi * sxr
         q_ref[0] = qr
         q_ref[1] = qi
         q_ref[0, :, 0:W] = q_ref[0, :, 0:W] + alr * lm
@@ -244,93 +299,155 @@ def stream_cg_const_planes(offsets, grid, taps, strips2, bp, x0p,
 
         qfr = q_ref[0]
         qfi = q_ref[1]
-        dq_ref[0, 0] += jnp.sum(dnr * qfr - dni * qfi)
-        dq_ref[1, 0] += jnp.sum(dnr * qfi + dni * qfr)
+        dq_acc[0, 0] += jnp.sum(dnr * qfr - dni * qfi)
+        dq_acc[1, 0] += jnp.sum(dnr * qfi + dni * qfr)
 
-    def k1(beta2, r, d, rh, dh):
+        # alpha = delta / dq with the exact-convergence freeze guard
+        # (matches block_cg_planes), computed once at the last step
+        @pl.when(i == G - 1)
+        def _():
+            dqr = dq_acc[0, 0]
+            dqi = dq_acc[1, 0]
+            der = delta_ref[0, 0]
+            dei = delta_ref[1, 0]
+            done = (((der == 0.0) & (dei == 0.0))
+                    | ((dqr == 0.0) & (dqi == 0.0)))
+            sdr = jnp.where(done, 1.0, dqr)
+            sdi = jnp.where(done, 1.0, dqi)
+            ar, ai = _smith_cdiv(der, dei, sdr, sdi)
+            al_ref[0, 0] = jnp.where(done, 0.0, ar)
+            al_ref[1, 0] = jnp.where(done, 0.0, ai)
+            al_ref[2, 0] = jnp.where(done, 1.0, 0.0)
+            al_ref[3, 0] = 0.0
+
+    def k1(strips2, beta2, delta2, r, d, Sr, Sd):
+        sb, st = strips2
         return pl.pallas_call(
             k1_kernel,
             grid=(G,),
-            in_specs=[smem_in, blk, blk, hblk, hblk, strip, strip],
-            out_specs=(blk, blk, smem_out),
+            in_specs=[smem_in, smem_in, blk, blk, sblk_m1, sblk_p1,
+                      sblk_m1, sblk_p1, strip, strip],
+            out_specs=(blk, blk, sblk, smem_out(4)),
             out_shape=(jax.ShapeDtypeStruct((2, nv, nh), _F),
                        jax.ShapeDtypeStruct((2, nv, nh), _F),
-                       jax.ShapeDtypeStruct((2, 1), _F)),
+                       jax.ShapeDtypeStruct((2, G, 2 * P, nh), _F),
+                       jax.ShapeDtypeStruct((4, 1), _F)),
             scratch_shapes=[pltpu.VMEM((Bv + 2 * P, nh + 2 * P), _F),
-                            pltpu.VMEM((Bv + 2 * P, nh + 2 * P), _F)],
+                            pltpu.VMEM((Bv + 2 * P, nh + 2 * P), _F),
+                            pltpu.SMEM((2, 1), _F)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(beta2, r, d, rh, dh, sb, st)
+        )(beta2, delta2, r, d, Sr, Sr, Sd, Sd, sb, st)
 
-    def k2_kernel(alpha_ref, x_ref, d_ref, r_ref, q_ref,
-                  xn_ref, rn_ref, delta_ref):
+    def k2_kernel(al_ref, delta_ref, x_ref, d_ref, r_ref, q_ref,
+                  xn_ref, rn_ref, srn_ref, beta_ref, dn_ref, hist_ref,
+                  d_acc):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            delta_ref[0, 0] = 0.0
-            delta_ref[1, 0] = 0.0
+            d_acc[0, 0] = 0.0
+            d_acc[1, 0] = 0.0
 
-        ar = alpha_ref[0, 0]
-        ai = alpha_ref[1, 0]
+        ar = al_ref[0, 0]
+        ai = al_ref[1, 0]
         xn_ref[0] = x_ref[0] + ar * d_ref[0] - ai * d_ref[1]
         xn_ref[1] = x_ref[1] + ar * d_ref[1] + ai * d_ref[0]
         nrr = r_ref[0] - (ar * q_ref[0] - ai * q_ref[1])
         nri = r_ref[1] - (ar * q_ref[1] + ai * q_ref[0])
         rn_ref[0] = nrr
         rn_ref[1] = nri
-        delta_ref[0, 0] += jnp.sum(nrr * nrr - nri * nri)
-        delta_ref[1, 0] += 2.0 * jnp.sum(nrr * nri)
+        srn_ref[0, 0, 0:P, :] = nrr[0:P]
+        srn_ref[1, 0, 0:P, :] = nri[0:P]
+        srn_ref[0, 0, P:2 * P, :] = nrr[Bv - P:Bv]
+        srn_ref[1, 0, P:2 * P, :] = nri[Bv - P:Bv]
+        d_acc[0, 0] += jnp.sum(nrr * nrr - nri * nri)
+        d_acc[1, 0] += 2.0 * jnp.sum(nrr * nri)
 
-    def k2(alpha2, x, d, r, q):
+        @pl.when(i == G - 1)
+        def _():
+            dnr = d_acc[0, 0]
+            dni = d_acc[1, 0]
+            done = al_ref[2, 0] > 0.5
+            der = delta_ref[0, 0]
+            dei = delta_ref[1, 0]
+            sdr = jnp.where(done, 1.0, der)
+            sdi = jnp.where(done, 1.0, dei)
+            br, bi = _smith_cdiv(dnr, dni, sdr, sdi)
+            beta_ref[0, 0] = jnp.where(done, 0.0, br)
+            beta_ref[1, 0] = jnp.where(done, 0.0, bi)
+            dn_ref[0, 0] = dnr
+            dn_ref[1, 0] = dni
+            hist_ref[0, 0] = jnp.sqrt(jnp.sqrt(dnr * dnr + dni * dni))
+
+    def k2(alpha_done, delta2, x, d, r, q):
         return pl.pallas_call(
             k2_kernel,
             grid=(G,),
-            in_specs=[smem_in, blk, blk, blk, blk],
-            out_specs=(blk, blk, smem_out),
+            in_specs=[smem_in, smem_in, blk, blk, blk, blk],
+            out_specs=(blk, blk, sblk, smem_out(2), smem_out(2),
+                       smem_out(1)),
             out_shape=(jax.ShapeDtypeStruct((2, nv, nh), _F),
                        jax.ShapeDtypeStruct((2, nv, nh), _F),
-                       jax.ShapeDtypeStruct((2, 1), _F)),
+                       jax.ShapeDtypeStruct((2, G, 2 * P, nh), _F),
+                       jax.ShapeDtypeStruct((2, 1), _F),
+                       jax.ShapeDtypeStruct((2, 1), _F),
+                       jax.ShapeDtypeStruct((1, 1), _F)),
+            scratch_shapes=[pltpu.SMEM((2, 1), _F)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(alpha2, x, d, r, q)
+        )(alpha_done, delta2, x, d, r, q)
+
+    return k1, k2
+
+
+def stream_cg_const_planes(offsets, grid, taps, strips2, bp, x0p,
+                           n_iterations: int, block_rows: int = None,
+                           interpret: bool = False):
+    """Fixed-iteration single-RHS complex CG, HBM-streaming kernels.
+
+    offsets/grid/taps : static python structure (see prepare_stream).
+    strips2 : (sb, st) from prepare_stream -- pass as jit ARGUMENTS.
+    bp, x0p : (2, Nv, Nh) float32 planes.
+    Returns (x_planes (2, Nv, Nh), residual_history (n_iterations+1,)).
+    """
+    nv, nh = grid
+    P = _pad_for(offsets)
+    Bv = block_rows or _pick_block_rows(nv)
+    assert nv % Bv == 0, (nv, Bv)
+    G = nv // Bv
+
+    k1, k2 = _build_kernels(offsets, grid, taps, Bv, interpret=interpret)
 
     zero2 = jnp.zeros((2, 1), _F)
+    one2 = jnp.ones((2, 1), _F)
     zeros_v = jnp.zeros((2, nv, nh), _F)
+    zeros_s = jnp.zeros((2, G, 2 * P, nh), _F)
 
     # r0 = b - A x0 (one K1 pass: dnew = x0, q = A x0), delta0 = <r0,r0>
-    xh = _halos(x0p, G, Bv, P, nh)
-    zh = jnp.zeros_like(xh)
-    _, q0, _ = k1(zero2, x0p, zeros_v, xh, zh)
+    Sx0 = _boundary(x0p, G, Bv, P, nh)
+    _, q0, _, _ = k1(strips2, zero2, one2, x0p, zeros_v, Sx0, zeros_s)
     r0 = bp - q0
     delta0 = jnp.stack([jnp.sum(r0[0] * r0[0] - r0[1] * r0[1]),
                         2.0 * jnp.sum(r0[0] * r0[1])])
+    Sr0 = _boundary(r0, G, Bv, P, nh)
 
     def body(carry, _):
-        x, r, d, delta, beta = carry
-        rh = _halos(r, G, Bv, P, nh)
-        dh = _halos(d, G, Bv, P, nh)
-        dnew, q, dq2 = k1(beta.reshape(2, 1), r, d, rh, dh)
-        dq = dq2[:, 0]
-        done = ((delta[0] == 0) & (delta[1] == 0)) \
-            | ((dq[0] == 0) & (dq[1] == 0))
-        safe_dq = jnp.where(done, jnp.ones_like(dq), dq)
-        alpha = jnp.where(done, 0.0, cdiv(delta, safe_dq))
-        xn, rn, dn2 = k2(alpha.reshape(2, 1), x, dnew, r, q)
-        delta_new = dn2[:, 0]
-        safe_delta = jnp.where(done, jnp.ones_like(delta), delta)
-        beta_new = jnp.where(done, 0.0, cdiv(delta_new, safe_delta))
-        hist = jnp.sqrt(jnp.sqrt(delta_new[0] * delta_new[0]
-                                 + delta_new[1] * delta_new[1]))
-        return (xn, rn, dnew, delta_new, beta_new), hist
+        x, r, d, Sr, Sd, delta2, beta2 = carry
+        dnew, q, Sdnew, alpha_done = k1(strips2, beta2, delta2, r, d,
+                                        Sr, Sd)
+        xn, rn, Srn, beta_new, delta_new, hist1 = k2(
+            alpha_done, delta2, x, dnew, r, q)
+        return (xn, rn, dnew, Srn, Sdnew, delta_new, beta_new), hist1
 
-    carry0 = (x0p, r0, zeros_v, delta0, jnp.zeros(2, _F))
-    (x, _, _, _, _), hist = lax.scan(body, carry0, None,
-                                     length=n_iterations)
+    carry0 = (x0p, r0, zeros_v, Sr0, zeros_s, delta0.reshape(2, 1),
+              zero2)
+    (x, _, _, _, _, _, _), hist = lax.scan(body, carry0, None,
+                                           length=n_iterations)
     h0 = jnp.sqrt(jnp.sqrt(delta0[0] * delta0[0] + delta0[1] * delta0[1]))
-    return x, jnp.concatenate([h0[None], hist])
+    return x, jnp.concatenate([h0[None], hist[:, 0, 0]])
 
 
 def stream_cg_const(stencil, b, x0=None, n_iterations: int = 10,
