@@ -1,0 +1,69 @@
+"""Automatic kernel selection (``tpcg.ops.auto``).
+
+Each execution path must produce the same residual history as the XLA
+oracle path; the planner must route problems by size/structure/batch
+the way the module documents.
+"""
+import numpy as np
+import pytest
+
+import tpcg.ops.auto as auto
+from tpcg.ops.auto import plan_stencil_cg, stencil_cg
+from tpcg.problems import helm_fe, helm_fe_var, plane_wave_rhs
+
+
+def _rel(a, b):
+    return np.max(np.abs(a - b) / (np.abs(b) + 1e-30))
+
+
+@pytest.fixture
+def prob():
+    N, k = 32, 9.0
+    return helm_fe(N, k, eps=k), plane_wave_rhs(N, k), N
+
+
+def test_path_selection(prob, monkeypatch):
+    A, b, N = prob
+    # CPU backend, no interpret -> always xla
+    assert plan_stencil_cg(A, 5).path == "xla"
+    # "accelerator" (interpret stands in): const interior, fits VMEM
+    assert plan_stencil_cg(A, 5, interpret=True).path == "vmem-const"
+    # too big for VMEM + single RHS + const edges -> stream
+    monkeypatch.setattr(auto, "_VMEM_NODES", 16)
+    assert plan_stencil_cg(A, 5, nb=1, interpret=True).path == "stream"
+    # too big + batched -> xla
+    assert plan_stencil_cg(A, 5, nb=4, interpret=True).path == "xla"
+    # variable coefficients, fits VMEM -> vmem-coef
+    monkeypatch.setattr(auto, "_VMEM_NODES", 512 * 512)
+    rng = np.random.default_rng(0)
+    C = 1.0 + 0.5 * rng.random((N - 1, N - 1))
+    Av = helm_fe_var(N, 9.0, C, rho=0.1)
+    assert plan_stencil_cg(Av, 5, interpret=True).path == "vmem-coef"
+    # variable coefficients, too big -> xla
+    monkeypatch.setattr(auto, "_VMEM_NODES", 16)
+    assert plan_stencil_cg(Av, 5, interpret=True).path == "xla"
+
+
+@pytest.mark.parametrize("path", ["vmem-const", "vmem-coef", "stream"])
+def test_paths_match_xla_oracle(prob, path):
+    A, b, N = prob
+    iters = 20
+    x_ref, h_ref = stencil_cg(A, b, n_iterations=iters, path="xla")
+    x, h = stencil_cg(A, b, n_iterations=iters, path=path, interpret=True)
+    assert x.shape == (N, N) and h.shape == (iters + 1,)
+    assert _rel(h, h_ref) < 5e-3, (path, _rel(h, h_ref))
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 5e-2
+
+
+def test_batched_and_x0(prob):
+    A, b, N = prob
+    iters = 15
+    rng = np.random.default_rng(1)
+    B = np.stack([b, b * (1 + 0.3j)])
+    X0 = (rng.standard_normal((2, N, N))
+          + 1j * rng.standard_normal((2, N, N))).astype(np.complex64) * 0.1
+    x_ref, h_ref = stencil_cg(A, B, X0, n_iterations=iters, path="xla")
+    x, h = stencil_cg(A, B, X0, n_iterations=iters, path="vmem-const",
+                      interpret=True)
+    assert x.shape == (2, N, N) and h.shape == (iters + 1, 2)
+    assert _rel(h, h_ref) < 5e-3

@@ -1,0 +1,252 @@
+"""Automatic kernel selection for stencil CG solves.
+
+The framework has four execution paths for the fixed-iteration complex
+block-CG of the reference (``clcg.c:111-466``), each fastest in a
+different regime on TPU:
+
+  vmem-const : whole solve in one Pallas kernel, coefficients folded to
+               compile-time scalars (``fused_cg_const``) -- fastest when
+               the grid fits VMEM (N <= 512) and the stencil interior is
+               constant (FE/FD assemblies on uniform meshes).
+  vmem-coef  : whole solve in one Pallas kernel with coefficient planes
+               resident in VMEM (``fused_cg``) -- variable-coefficient
+               grids up to N <= 512, any RHS batch.
+  stream     : HBM-streaming two-kernel iteration (``stream_cg``) --
+               constant-coefficient grids beyond VMEM (N >= 1024),
+               single RHS.
+  xla        : pure-XLA shift-multiply streaming (``block_cg_planes`` /
+               ``block_cg``) -- anything else, any backend; also the
+               parity oracle for the Pallas paths.
+
+``plan_stencil_cg`` inspects the stencil once (host side), picks the
+path, and returns a plan whose ``solve`` runs the whole loop in a single
+device program.  This mirrors the reference hosts' one-time kernel
+build + buffer upload (``clcg.c:137-214``, ``cl.py:70-94``) -- planning
+is the expensive step, solves are pure device execution.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+# grids up to this many nodes fit the VMEM-resident kernels on v5e
+# (empirical: N=512 compiles and runs; N=1024 exceeds VMEM)
+_VMEM_NODES = 512 * 512
+
+
+def _norm_b(b, nv, nh):
+    b = np.asarray(b)
+    squeeze = b.ndim == 2 or b.size == nv * nh
+    B = b.reshape(-1, nv, nh)
+    return B, squeeze
+
+
+@dataclass
+class StencilCGPlan:
+    """A chosen execution path for one (stencil, n_iterations) pair."""
+    path: str                       # vmem-const | vmem-coef | stream | xla
+    grid: tuple
+    n_iterations: int
+    _solve: Callable = field(repr=False)
+
+    def solve(self, b, x0=None):
+        """b, x0 : complex (Nv, Nh) or (B, Nv, Nh) arrays.
+
+        Returns ``(x, history)`` with x complex64 shaped like b and
+        history ``(n_iterations+1,)`` (single RHS) or
+        ``(n_iterations+1, B)``.
+        """
+        return self._solve(b, x0)
+
+
+def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
+                    path: Optional[str] = None,
+                    interpret: bool = False) -> StencilCGPlan:
+    """Pick and prepare the fastest CG path for ``stencil``.
+
+    nb : planned RHS batch size (the stream path is single-RHS).
+    path : force a specific path (mainly for tests/benchmarks).
+    interpret : run Pallas kernels in interpret mode (CPU testing).
+    """
+    import jax
+    from jax import default_backend
+
+    nv, nh = stencil.grid
+    n = nv * nh
+    coef = np.asarray(stencil.coef)
+    is_complex = np.iscomplexobj(coef)
+    on_accel = default_backend() != "cpu" or interpret
+
+    if path is None:
+        path = "xla"
+        if is_complex and on_accel:
+            try:
+                from .fused_cg_const import split_const_stencil
+                split_const_stencil(stencil)
+                const_interior = True
+            except ValueError:
+                const_interior = False
+            if const_interior and n <= _VMEM_NODES:
+                path = "vmem-const"
+            elif const_interior and nb == 1:
+                try:
+                    from .stream_cg import prepare_stream
+                    prepare_stream(stencil)
+                    path = "stream"
+                except ValueError:
+                    path = "xla"
+            elif not const_interior and n <= _VMEM_NODES:
+                path = "vmem-coef"
+
+    solve = _build_solver(stencil, n_iterations, path, interpret)
+    return StencilCGPlan(path=path, grid=(nv, nh),
+                         n_iterations=n_iterations, _solve=solve)
+
+
+def stencil_cg(stencil, b, x0=None, n_iterations: int = 10,
+               path: Optional[str] = None, interpret: bool = False):
+    """One-shot convenience: plan + solve (see :func:`plan_stencil_cg`)."""
+    b_arr = np.asarray(b)
+    nv, nh = stencil.grid
+    nb = b_arr.size // (nv * nh)
+    plan = plan_stencil_cg(stencil, n_iterations, nb=nb, path=path,
+                           interpret=interpret)
+    return plan.solve(b, x0)
+
+
+def _build_solver(stencil, n_iterations, path, interpret):
+    import jax
+    import jax.numpy as jnp
+
+    nv, nh = stencil.grid
+
+    if path == "vmem-const":
+        from .fused_cg_const import prepare_const, fused_cg_const_planes
+        cr, ci, strips4 = prepare_const(stencil)
+        fn = jax.jit(lambda s4, bp, x0p: fused_cg_const_planes(
+            stencil.offsets, stencil.grid, cr, ci, s4, bp, x0p,
+            n_iterations, interpret=interpret))
+
+        def solve(b, x0):
+            B, squeeze = _norm_b(b, nv, nh)
+            bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
+            if x0 is None:
+                x0p = jnp.zeros_like(bp)
+            else:
+                X0, _ = _norm_b(x0, nv, nh)
+                x0p = jnp.asarray(np.stack([X0.real, X0.imag])
+                                  .astype(np.float32))
+            x, hist = fn(strips4, bp, x0p)
+            x = np.asarray(x)
+            hist = np.asarray(hist)
+            xc = (x[0] + 1j * x[1]).astype(np.complex64)
+            if squeeze:
+                return xc[0], hist[:, 0]
+            return xc, hist
+        return solve
+
+    if path == "vmem-coef":
+        from .fused_cg import prepare_coef3, fused_cg_stencil
+        coef3 = prepare_coef3(stencil)
+        fn = jax.jit(lambda c3, bp, x0p: fused_cg_stencil(
+            stencil.offsets, c3, bp, x0p, n_iterations,
+            interpret=interpret))
+
+        def solve(b, x0):
+            B, squeeze = _norm_b(b, nv, nh)
+            bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
+            if x0 is None:
+                x0p = jnp.zeros_like(bp)
+            else:
+                X0, _ = _norm_b(x0, nv, nh)
+                x0p = jnp.asarray(np.stack([X0.real, X0.imag])
+                                  .astype(np.float32))
+            x, hist = fn(coef3, bp, x0p)
+            x = np.asarray(x)
+            hist = np.asarray(hist)
+            xc = (x[0] + 1j * x[1]).astype(np.complex64)
+            if squeeze:
+                return xc[0], hist[:, 0]
+            return xc, hist
+        return solve
+
+    if path == "stream":
+        from .stream_cg import prepare_stream, stream_cg_const_planes
+        taps, strips2 = prepare_stream(stencil)
+        fn = jax.jit(lambda s2, bp, x0p: stream_cg_const_planes(
+            stencil.offsets, stencil.grid, taps, s2, bp, x0p,
+            n_iterations, interpret=interpret))
+
+        def solve(b, x0):
+            B, squeeze = _norm_b(b, nv, nh)
+            assert B.shape[0] == 1, "stream path is single-RHS"
+            bp = jnp.asarray(np.stack([B[0].real, B[0].imag])
+                             .astype(np.float32))
+            if x0 is None:
+                x0p = jnp.zeros_like(bp)
+            else:
+                X0, _ = _norm_b(x0, nv, nh)
+                x0p = jnp.asarray(np.stack([X0[0].real, X0[0].imag])
+                                  .astype(np.float32))
+            x, hist = fn(strips2, bp, x0p)
+            x = np.asarray(x)
+            xc = (x[0] + 1j * x[1]).astype(np.complex64)
+            if squeeze:
+                return xc, np.asarray(hist)
+            return xc[None], np.asarray(hist)[:, None]
+        return solve
+
+    if path == "xla":
+        from jax import default_backend
+        coef = np.asarray(stencil.coef)
+        is_complex = np.iscomplexobj(coef)
+        if is_complex and default_backend() != "cpu":
+            from .cplx import block_cg_planes, make_pair_operator
+            Pop = make_pair_operator(stencil, dtype=jnp.float32)
+            fn = jax.jit(lambda bp, x0p: block_cg_planes(
+                Pop, bp, x0p, n_iterations=n_iterations))
+
+            def solve(b, x0):
+                B, squeeze = _norm_b(b, nv, nh)
+                n = nv * nh
+                bp = jnp.asarray(np.stack([B.real, B.imag])
+                                 .reshape(2, -1, n).transpose(0, 2, 1)
+                                 .astype(np.float32))
+                if x0 is None:
+                    x0p = jnp.zeros_like(bp)
+                else:
+                    X0, _ = _norm_b(x0, nv, nh)
+                    x0p = jnp.asarray(np.stack([X0.real, X0.imag])
+                                      .reshape(2, -1, n).transpose(0, 2, 1)
+                                      .astype(np.float32))
+                res = fn(bp, x0p)
+                x = np.asarray(res.x)            # (2, n, B)
+                hist = np.asarray(res.residual_history)
+                xc = ((x[0] + 1j * x[1]).T.reshape(-1, nv, nh)
+                      .astype(np.complex64))
+                if squeeze:
+                    return xc[0], hist[:, 0]
+                return xc, hist
+            return solve
+
+        from ..cg import block_cg
+
+        def solve(b, x0):
+            B, squeeze = _norm_b(b, nv, nh)
+            n = nv * nh
+            dt = (np.result_type(coef.dtype, np.complex64) if is_complex
+                  else np.result_type(coef.dtype, np.float32))
+            bm = jnp.asarray(B.reshape(-1, n).T.astype(dt))
+            x0m = (jnp.asarray(np.asarray(x0).reshape(-1, n).T.astype(dt))
+                   if x0 is not None else None)
+            res = block_cg(stencil, bm, x0m, n_iterations=n_iterations)
+            x = np.asarray(res.x).T.reshape(-1, nv, nh)
+            hist = np.asarray(res.residual_history)
+            if squeeze:
+                return x[0], hist[:, 0]
+            return x, hist
+        return solve
+
+    raise ValueError(f"unknown path {path!r}")
