@@ -39,9 +39,22 @@ def test_path_selection(prob, monkeypatch):
     C = 1.0 + 0.5 * rng.random((N - 1, N - 1))
     Av = helm_fe_var(N, 9.0, C, rho=0.1)
     assert plan_stencil_cg(Av, 5, interpret=True).path == "vmem-coef"
-    # variable coefficients, too big -> xla
+    # variable coefficients, too big, single RHS -> coefficient streaming
     monkeypatch.setattr(auto, "_VMEM_NODES", 16)
-    assert plan_stencil_cg(Av, 5, interpret=True).path == "xla"
+    assert plan_stencil_cg(Av, 5, interpret=True).path == "stream-coef"
+    assert plan_stencil_cg(Av, 5, nb=4, interpret=True).path == "xla"
+
+
+def test_stream_coef_path_matches_oracle():
+    N, iters = 32, 20
+    rng = np.random.default_rng(3)
+    C = 1.0 + 0.5 * rng.random((N - 1, N - 1))
+    Av = helm_fe_var(N, 9.0, C, rho=0.1)
+    b = plane_wave_rhs(N, 9.0)
+    x_ref, h_ref = stencil_cg(Av, b, n_iterations=iters, path="xla")
+    x, h = stencil_cg(Av, b, n_iterations=iters, path="stream-coef",
+                      interpret=True)
+    assert _rel(h, h_ref) < 5e-3
 
 
 @pytest.mark.parametrize("path", ["vmem-const", "vmem-coef", "stream"])

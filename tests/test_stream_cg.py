@@ -68,6 +68,22 @@ def test_stream_nonzero_x0_and_blockrows():
         assert rel.max() < 5e-3, (bv, rel.max())
 
 
+def test_stream_coef_matches_xla_history():
+    """Variable-coefficient streaming path (coefficients ride the same
+    row-block pipeline as the state)."""
+    from tpcg.ops.stream_cg import stream_cg_coef
+    from tpcg.problems import helm_fe_var
+    N, iters, k = 64, 25, 12.0
+    rng = np.random.default_rng(2)
+    C = 1.0 + 0.5 * rng.random((N - 1, N - 1))
+    A = helm_fe_var(N, k, C, rho=0.1)
+    b = plane_wave_rhs(N, k)
+    x, hist = stream_cg_coef(A, b, n_iterations=iters, interpret=True)
+    hs = _oracle_hist(A, b, iters)
+    rel = np.abs(np.asarray(hist) - hs) / (np.abs(hs) + 1e-30)
+    assert rel.max() < 5e-3, rel.max()
+
+
 def test_prepare_stream_rejects_nonconst_edges():
     from tpcg.problems import helm_fe_var
     N = 32

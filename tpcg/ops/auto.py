@@ -14,6 +14,9 @@ different regime on TPU:
   stream     : HBM-streaming two-kernel iteration (``stream_cg``) --
                constant-coefficient grids beyond VMEM (N >= 1024),
                single RHS.
+  stream-coef: same two-kernel iteration with per-node coefficient
+               planes streamed alongside the state -- variable
+               coefficients beyond VMEM, single RHS.
   xla        : pure-XLA shift-multiply streaming (``block_cg_planes`` /
                ``block_cg``) -- anything else, any backend; also the
                parity oracle for the Pallas paths.
@@ -46,7 +49,7 @@ def _norm_b(b, nv, nh):
 @dataclass
 class StencilCGPlan:
     """A chosen execution path for one (stencil, n_iterations) pair."""
-    path: str                       # vmem-const | vmem-coef | stream | xla
+    path: str        # vmem-const | vmem-coef | stream | stream-coef | xla
     grid: tuple
     n_iterations: int
     _solve: Callable = field(repr=False)
@@ -96,9 +99,11 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
                     prepare_stream(stencil)
                     path = "stream"
                 except ValueError:
-                    path = "xla"
+                    path = "stream-coef"
             elif not const_interior and n <= _VMEM_NODES:
                 path = "vmem-coef"
+            elif not const_interior and nb == 1:
+                path = "stream-coef"
 
     solve = _build_solver(stencil, n_iterations, path, interpret)
     return StencilCGPlan(path=path, grid=(nv, nh),
@@ -172,12 +177,20 @@ def _build_solver(stencil, n_iterations, path, interpret):
             return xc, hist
         return solve
 
-    if path == "stream":
-        from .stream_cg import prepare_stream, stream_cg_const_planes
-        taps, strips2 = prepare_stream(stencil)
-        fn = jax.jit(lambda s2, bp, x0p: stream_cg_const_planes(
-            stencil.offsets, stencil.grid, taps, s2, bp, x0p,
-            n_iterations, interpret=interpret))
+    if path in ("stream", "stream-coef"):
+        if path == "stream":
+            from .stream_cg import prepare_stream, stream_cg_const_planes
+            taps, strips2 = prepare_stream(stencil)
+            fn = jax.jit(lambda s2, bp, x0p: stream_cg_const_planes(
+                stencil.offsets, stencil.grid, taps, s2, bp, x0p,
+                n_iterations, interpret=interpret))
+        else:
+            from .stream_cg import (prepare_stream_coef,
+                                    stream_cg_coef_planes)
+            strips2 = prepare_stream_coef(stencil)
+            fn = jax.jit(lambda cp, bp, x0p: stream_cg_coef_planes(
+                stencil.offsets, stencil.grid, cp, bp, x0p,
+                n_iterations, interpret=interpret))
 
         def solve(b, x0):
             B, squeeze = _norm_b(b, nv, nh)

@@ -340,6 +340,21 @@ def _build_kernels(offsets, grid, taps, Bv, interpret=False):
             interpret=interpret,
         )(beta2, delta2, r, d, Sr, Sr, Sd, Sd, sb, st)
 
+    k2 = _make_k2(nv, nh, G, Bv, P, interpret)
+    return k1, k2
+
+
+def _make_k2(nv, nh, G, Bv, P, interpret=False):
+    """The coefficient-free second kernel (x/r update + <r,r> + beta),
+    shared by the constant-tap and variable-coefficient streaming paths."""
+    blk = pl.BlockSpec((2, Bv, nh), lambda i: (0, i, 0))
+    sblk = pl.BlockSpec((2, 1, 2 * P, nh), lambda i: (0, i, 0, 0))
+    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def smem_out(m):
+        return pl.BlockSpec((m, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
     def k2_kernel(al_ref, delta_ref, x_ref, d_ref, r_ref, q_ref,
                   xn_ref, rn_ref, srn_ref, beta_ref, dn_ref, hist_ref,
                   d_acc):
@@ -400,7 +415,215 @@ def _build_kernels(offsets, grid, taps, Bv, interpret=False):
             interpret=interpret,
         )(alpha_done, delta2, x, d, r, q)
 
-    return k1, k2
+    return k2
+
+
+def _build_k1_coef(offsets, grid, Bv, interpret=False):
+    """K1 with per-node coefficient planes streamed from HBM.
+
+    Variable-coefficient twin of the constant-tap K1: the full
+    (2, noff, Nv, Nh) coefficient array rides the same row-block
+    pipeline as the state (each block reads only its own coefficient
+    rows), so no strip/edge special-casing is needed -- boundary
+    modifications live in the coefficients themselves
+    (``helm_fe_var``'s per-node assembly, ``helmFE_var.py:9-331``).
+
+    k1v(coefp, beta2, delta2, r, d, Sr, Sd)
+        -> (dnew, q, Sdnew, alpha_done (4,1))
+    """
+    nv, nh = grid
+    P = _pad_for(offsets)
+    assert nv % Bv == 0, (nv, Bv)
+    G = nv // Bv
+    noff = len(offsets)
+
+    blk = pl.BlockSpec((2, Bv, nh), lambda i: (0, i, 0))
+    cblk = pl.BlockSpec((2, noff, Bv, nh), lambda i: (0, 0, i, 0))
+    sblk = pl.BlockSpec((2, 1, 2 * P, nh), lambda i: (0, i, 0, 0))
+    sblk_m1 = pl.BlockSpec((2, 1, 2 * P, nh),
+                           lambda i: (0, jnp.maximum(i - 1, 0), 0, 0))
+    sblk_p1 = pl.BlockSpec((2, 1, 2 * P, nh),
+                           lambda i: (0, jnp.minimum(i + 1, G - 1), 0, 0))
+    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def smem_out(m):
+        return pl.BlockSpec((m, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    def k1v_kernel(beta_ref, delta_ref, coef_ref, r_ref, d_ref,
+                   srm_ref, srp_ref, sdm_ref, sdp_ref,
+                   dnew_ref, q_ref, sdn_ref, al_ref, dpr, dpi, dq_acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dq_acc[0, 0] = 0.0
+            dq_acc[1, 0] = 0.0
+            dpr[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
+            dpi[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
+
+        br = beta_ref[0, 0]
+        bi = beta_ref[1, 0]
+        tm = jnp.where(i > 0, 1.0, 0.0).astype(_F)
+        bm = jnp.where(i < G - 1, 1.0, 0.0).astype(_F)
+        dnr = r_ref[0] + br * d_ref[0] - bi * d_ref[1]
+        dni = r_ref[1] + br * d_ref[1] + bi * d_ref[0]
+        tr_r = tm * (srm_ref[0, 0, P:2 * P, :]
+                     + br * sdm_ref[0, 0, P:2 * P, :]
+                     - bi * sdm_ref[1, 0, P:2 * P, :])
+        tr_i = tm * (srm_ref[1, 0, P:2 * P, :]
+                     + br * sdm_ref[1, 0, P:2 * P, :]
+                     + bi * sdm_ref[0, 0, P:2 * P, :])
+        br_r = bm * (srp_ref[0, 0, 0:P, :]
+                     + br * sdp_ref[0, 0, 0:P, :]
+                     - bi * sdp_ref[1, 0, 0:P, :])
+        br_i = bm * (srp_ref[1, 0, 0:P, :]
+                     + br * sdp_ref[1, 0, 0:P, :]
+                     + bi * sdp_ref[0, 0, 0:P, :])
+        dnew_ref[0] = dnr
+        dnew_ref[1] = dni
+        sdn_ref[0, 0, 0:P, :] = dnr[0:P]
+        sdn_ref[1, 0, 0:P, :] = dni[0:P]
+        sdn_ref[0, 0, P:2 * P, :] = dnr[Bv - P:Bv]
+        sdn_ref[1, 0, P:2 * P, :] = dni[Bv - P:Bv]
+        dpr[0:P, P:P + nh] = tr_r
+        dpi[0:P, P:P + nh] = tr_i
+        dpr[P:P + Bv, P:P + nh] = dnr
+        dpi[P:P + Bv, P:P + nh] = dni
+        dpr[P + Bv:2 * P + Bv, P:P + nh] = br_r
+        dpi[P + Bv:2 * P + Bv, P:P + nh] = br_i
+
+        qr = jnp.zeros((Bv, nh), _F)
+        qi = jnp.zeros((Bv, nh), _F)
+        for s, (dm, dj) in enumerate(offsets):
+            ar = coef_ref[0, s]
+            ai = coef_ref[1, s]
+            xr = dpr[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            xi = dpi[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            qr = qr + ar * xr - ai * xi
+            qi = qi + ar * xi + ai * xr
+        q_ref[0] = qr
+        q_ref[1] = qi
+        dq_acc[0, 0] += jnp.sum(dnr * qr - dni * qi)
+        dq_acc[1, 0] += jnp.sum(dnr * qi + dni * qr)
+
+        @pl.when(i == G - 1)
+        def _():
+            dqr = dq_acc[0, 0]
+            dqi = dq_acc[1, 0]
+            der = delta_ref[0, 0]
+            dei = delta_ref[1, 0]
+            done = (((der == 0.0) & (dei == 0.0))
+                    | ((dqr == 0.0) & (dqi == 0.0)))
+            sdr = jnp.where(done, 1.0, dqr)
+            sdi = jnp.where(done, 1.0, dqi)
+            ar, ai = _smith_cdiv(der, dei, sdr, sdi)
+            al_ref[0, 0] = jnp.where(done, 0.0, ar)
+            al_ref[1, 0] = jnp.where(done, 0.0, ai)
+            al_ref[2, 0] = jnp.where(done, 1.0, 0.0)
+            al_ref[3, 0] = 0.0
+
+    def k1v(coefp, beta2, delta2, r, d, Sr, Sd):
+        return pl.pallas_call(
+            k1v_kernel,
+            grid=(G,),
+            in_specs=[smem_in, smem_in, cblk, blk, blk, sblk_m1,
+                      sblk_p1, sblk_m1, sblk_p1],
+            out_specs=(blk, blk, sblk, smem_out(4)),
+            out_shape=(jax.ShapeDtypeStruct((2, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, G, 2 * P, nh), _F),
+                       jax.ShapeDtypeStruct((4, 1), _F)),
+            scratch_shapes=[pltpu.VMEM((Bv + 2 * P, nh + 2 * P), _F),
+                            pltpu.VMEM((Bv + 2 * P, nh + 2 * P), _F),
+                            pltpu.SMEM((2, 1), _F)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(beta2, delta2, coefp, r, d, Sr, Sr, Sd, Sd)
+
+    return k1v
+
+
+def prepare_stream_coef(stencil, dtype=np.float32):
+    """(2, noff, Nv, Nh) coefficient planes for the var-coeff streaming
+    path.  Pass the result as a jit ARGUMENT (closure constants of this
+    size blow up the remote compile request)."""
+    c = np.asarray(stencil.coef)
+    return jnp.asarray(np.stack([c.real, c.imag]).astype(dtype))
+
+
+def _stream_loop(k1, k2, strips_or_coef, bp, x0p, n_iterations,
+                 nv, nh, G, Bv, P):
+    """Shared driver: r0/delta0 init pass + the two-kernel scan."""
+    zero2 = jnp.zeros((2, 1), _F)
+    one2 = jnp.ones((2, 1), _F)
+    zeros_v = jnp.zeros((2, nv, nh), _F)
+    zeros_s = jnp.zeros((2, G, 2 * P, nh), _F)
+
+    # r0 = b - A x0 (one K1 pass: dnew = x0, q = A x0), delta0 = <r0,r0>
+    Sx0 = _boundary(x0p, G, Bv, P, nh)
+    _, q0, _, _ = k1(strips_or_coef, zero2, one2, x0p, zeros_v, Sx0,
+                     zeros_s)
+    r0 = bp - q0
+    delta0 = jnp.stack([jnp.sum(r0[0] * r0[0] - r0[1] * r0[1]),
+                        2.0 * jnp.sum(r0[0] * r0[1])])
+    Sr0 = _boundary(r0, G, Bv, P, nh)
+
+    def body(carry, _):
+        x, r, d, Sr, Sd, delta2, beta2 = carry
+        dnew, q, Sdnew, alpha_done = k1(strips_or_coef, beta2, delta2,
+                                        r, d, Sr, Sd)
+        xn, rn, Srn, beta_new, delta_new, hist1 = k2(
+            alpha_done, delta2, x, dnew, r, q)
+        return (xn, rn, dnew, Srn, Sdnew, delta_new, beta_new), hist1
+
+    carry0 = (x0p, r0, zeros_v, Sr0, zeros_s, delta0.reshape(2, 1),
+              zero2)
+    (x, _, _, _, _, _, _), hist = lax.scan(body, carry0, None,
+                                           length=n_iterations)
+    h0 = jnp.sqrt(jnp.sqrt(delta0[0] * delta0[0] + delta0[1] * delta0[1]))
+    return x, jnp.concatenate([h0[None], hist[:, 0, 0]])
+
+
+def stream_cg_coef_planes(offsets, grid, coefp, bp, x0p,
+                          n_iterations: int, block_rows: int = None,
+                          interpret: bool = False):
+    """Fixed-iteration single-RHS complex CG with HBM-streamed
+    per-node coefficients (variable wave speed / general stencils).
+
+    coefp : (2, noff, Nv, Nh) float32 planes (prepare_stream_coef).
+    bp, x0p : (2, Nv, Nh) float32 planes.
+    Returns (x_planes (2, Nv, Nh), residual_history (n_iterations+1,)).
+    """
+    nv, nh = grid
+    P = _pad_for(offsets)
+    Bv = block_rows or _pick_block_rows(nv)
+    assert nv % Bv == 0, (nv, Bv)
+    G = nv // Bv
+    k1v = _build_k1_coef(offsets, grid, Bv, interpret=interpret)
+    k2 = _make_k2(nv, nh, G, Bv, P, interpret=interpret)
+    return _stream_loop(k1v, k2, coefp, bp, x0p, n_iterations,
+                        nv, nh, G, Bv, P)
+
+
+def stream_cg_coef(stencil, b, x0=None, n_iterations: int = 10,
+                   block_rows: int = None, interpret: bool = False):
+    """Convenience wrapper for :func:`stream_cg_coef_planes`:
+    complex (Nv, Nh) grid in / out."""
+    nv, nh = stencil.grid
+    coefp = prepare_stream_coef(stencil)
+    b = np.asarray(b).reshape(nv, nh)
+    bp = jnp.asarray(np.stack([b.real, b.imag]).astype(np.float32))
+    if x0 is None:
+        x0p = jnp.zeros((2, nv, nh), np.float32)
+    else:
+        x0 = np.asarray(x0).reshape(nv, nh)
+        x0p = jnp.asarray(np.stack([x0.real, x0.imag]).astype(np.float32))
+    return stream_cg_coef_planes(stencil.offsets, stencil.grid, coefp,
+                                 bp, x0p, n_iterations,
+                                 block_rows=block_rows,
+                                 interpret=interpret)
 
 
 def stream_cg_const_planes(offsets, grid, taps, strips2, bp, x0p,
@@ -420,34 +643,8 @@ def stream_cg_const_planes(offsets, grid, taps, strips2, bp, x0p,
     G = nv // Bv
 
     k1, k2 = _build_kernels(offsets, grid, taps, Bv, interpret=interpret)
-
-    zero2 = jnp.zeros((2, 1), _F)
-    one2 = jnp.ones((2, 1), _F)
-    zeros_v = jnp.zeros((2, nv, nh), _F)
-    zeros_s = jnp.zeros((2, G, 2 * P, nh), _F)
-
-    # r0 = b - A x0 (one K1 pass: dnew = x0, q = A x0), delta0 = <r0,r0>
-    Sx0 = _boundary(x0p, G, Bv, P, nh)
-    _, q0, _, _ = k1(strips2, zero2, one2, x0p, zeros_v, Sx0, zeros_s)
-    r0 = bp - q0
-    delta0 = jnp.stack([jnp.sum(r0[0] * r0[0] - r0[1] * r0[1]),
-                        2.0 * jnp.sum(r0[0] * r0[1])])
-    Sr0 = _boundary(r0, G, Bv, P, nh)
-
-    def body(carry, _):
-        x, r, d, Sr, Sd, delta2, beta2 = carry
-        dnew, q, Sdnew, alpha_done = k1(strips2, beta2, delta2, r, d,
-                                        Sr, Sd)
-        xn, rn, Srn, beta_new, delta_new, hist1 = k2(
-            alpha_done, delta2, x, dnew, r, q)
-        return (xn, rn, dnew, Srn, Sdnew, delta_new, beta_new), hist1
-
-    carry0 = (x0p, r0, zeros_v, Sr0, zeros_s, delta0.reshape(2, 1),
-              zero2)
-    (x, _, _, _, _, _, _), hist = lax.scan(body, carry0, None,
-                                           length=n_iterations)
-    h0 = jnp.sqrt(jnp.sqrt(delta0[0] * delta0[0] + delta0[1] * delta0[1]))
-    return x, jnp.concatenate([h0[None], hist[:, 0, 0]])
+    return _stream_loop(k1, k2, strips2, bp, x0p, n_iterations,
+                        nv, nh, G, Bv, P)
 
 
 def stream_cg_const(stencil, b, x0=None, n_iterations: int = 10,
