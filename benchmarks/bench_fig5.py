@@ -1,0 +1,211 @@
+"""Reference Fig. 5 headline suite: CG GFLOPS on synthetic analogues of
+all five report matrices (report Table I / Fig. 5, RTX 2080S numbers).
+
+SuiteSparse files are not redistributable here (zero-egress sandbox), so
+each case is a synthetic matrix of the same size class, nnz/row profile
+and structure family:
+
+  1138_bus      real SPD n=1,138 nnz~4k, irregular graph  -> routed SpMV
+  m_t1          real SPD n=97,578 nnz~9.8M, ~100/row band -> DIA
+  parabolic_fem real SPD n=525,825 nnz~3.7M, 7/row FE     -> DIA
+  mhd1280b      complex n=1,280 nnz~23k, ~18/row band     -> DIA planes
+  helm_fem      complex n=16,384 = 128^2 Helmholtz FE     -> fused VMEM
+
+Protocol follows the report: 5000 CG iterations (200 for the big ones,
+GFLOPS is iteration-rate so the count only suppresses noise), single
+RHS, f32/c64, FLOP accounting per report Table II (real 2*nnz + 10*n,
+complex 8*nnz + 40*n).  Writes benchmarks/FIG5.md.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF = {  # report Fig. 5, RTX 2080S, this-impl series
+    "1138_bus": 0.033,
+    "m_t1": 7.899,
+    "parabolic_fem": 4.884,
+    "mhd1280b": 0.381,
+    "helm_fem": 2.390,
+}
+
+
+def irregular_spd(n, per_row, seed=0):
+    import scipy.sparse as sp
+    rng = np.random.default_rng(seed)
+    nnz = int(n * per_row)
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz) * 0.1
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    A = (A + A.T) * 0.5
+    return (A + sp.eye(n) * (per_row + 2.0)).astype(np.float32)
+
+
+def banded_real(n, offsets, seed=0):
+    import scipy.sparse as sp
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for off in offsets:
+        i = np.arange(max(0, -off), min(n, n - off))
+        v = (np.full(len(i), float(2 * len(offsets))) if off == 0
+             else rng.standard_normal(len(i)) * 0.1)
+        rows.append(i); cols.append(i + off); vals.append(v)
+    A = sp.csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n))
+    return ((A + A.T) * 0.5 + sp.eye(n) * len(offsets)).astype(np.float32)
+
+
+def banded_complex(n, offsets, seed=0):
+    import scipy.sparse as sp
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for off in offsets:
+        i = np.arange(max(0, -off), min(n, n - off))
+        v = ((rng.standard_normal(len(i))
+              + 1j * rng.standard_normal(len(i))) * 0.1
+             if off else np.full(len(i), 2.0 * len(offsets) + 0.5j))
+        rows.append(i); cols.append(i + off); vals.append(v)
+    A = sp.csr_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n))
+    return (A + A.T) * 0.5  # complex-symmetric (COCG territory)
+
+
+def time_reps(fn, *args, reps=3):
+    rn = np.asarray(fn(*args))
+    assert np.all(np.isfinite(rn)), rn
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+    from tpcg import block_cg
+    from tpcg.ops.cplx import block_cg_planes, make_pair_operator
+    from tpcg.sparse import DiaMatrix
+
+    rows = []
+
+    def record(tag, n, nnz, iters, dt, cplx):
+        fl = (8 * nnz + 40 * n) if cplx else (2 * nnz + 10 * n)
+        gf = iters * fl / dt / 1e9
+        rows.append((tag, n, int(nnz), dt, gf, REF[tag]))
+        print(json.dumps({"case": tag, "n": n, "nnz": int(nnz),
+                          "time_s": round(dt, 4), "gflops": round(gf, 3),
+                          "ref_gflops": REF[tag],
+                          "speedup": round(gf / REF[tag], 1)}), flush=True)
+
+    # ---- 1138_bus-class: tiny irregular graph -> routed SpMV ----------
+    try:
+        from tpcg.ops.routing import build_routing_spmv
+        from tpcg.ops.route_spmv import DeviceRouted
+        n = 1138
+        A = irregular_spd(n, 3.56, seed=0)
+        R = DeviceRouted(build_routing_spmv(A))
+        R = jax.device_put(R)
+        b = jnp.ones((n,), jnp.float32)
+        iters = 5000
+        fn = jax.jit(lambda M, b: block_cg(M, b, n_iterations=iters)
+                     .residual_history[-1])
+        dt = time_reps(fn, R, b)
+        record("1138_bus", n, A.nnz, iters, dt, cplx=False)
+    except Exception as e:
+        print(f"1138_bus FAILED: {str(e)[:200]}", flush=True)
+
+    # ---- m_t1-class: ~100/row band -> DIA ------------------------------
+    try:
+        sys.path.insert(0, os.path.dirname(__file__))
+        from bench_general_sparse import banded_spd
+        n = 97578
+        A = banded_spd(n, 50)
+        M = jax.device_put(DiaMatrix.from_scipy(A.astype(np.float32)))
+        b = jnp.ones((n,), jnp.float32)
+        iters = 200
+        fn = jax.jit(lambda M, b: block_cg(M, b, n_iterations=iters)
+                     .residual_history[-1])
+        dt = time_reps(fn, M, b)
+        record("m_t1", n, A.nnz, iters, dt, cplx=False)
+    except Exception as e:
+        print(f"m_t1 FAILED: {str(e)[:200]}", flush=True)
+
+    # ---- parabolic_fem-class: n=525,825, 7/row -> DIA ------------------
+    try:
+        n = 525825
+        A = banded_real(n, (0, 1, 724, 725), seed=1)   # ~7/row FE band
+        M = jax.device_put(DiaMatrix.from_scipy(A))
+        b = jnp.ones((n,), jnp.float32)
+        iters = 200
+        fn = jax.jit(lambda M, b: block_cg(M, b, n_iterations=iters)
+                     .residual_history[-1])
+        dt = time_reps(fn, M, b)
+        record("parabolic_fem", n, A.nnz, iters, dt, cplx=False)
+    except Exception as e:
+        print(f"parabolic_fem FAILED: {str(e)[:200]}", flush=True)
+
+    # ---- mhd1280b-class: complex n=1,280 band -> DIA planes ------------
+    try:
+        n = 1280
+        A = banded_complex(n, tuple(range(0, 9)), seed=2)   # ~17.8/row
+        M = DiaMatrix.from_scipy(A.astype(np.complex64))
+        P = jax.device_put(make_pair_operator(M, dtype=jnp.float32))
+        b2 = jnp.stack([jnp.ones((n, 1), jnp.float32),
+                        jnp.zeros((n, 1), jnp.float32)])
+        iters = 5000
+        fn = jax.jit(lambda P, b: block_cg_planes(
+            P, b, n_iterations=iters).residual_history[-1])
+        dt = time_reps(fn, P, b2)
+        record("mhd1280b", n, A.nnz, iters, dt, cplx=True)
+    except Exception as e:
+        print(f"mhd1280b FAILED: {str(e)[:200]}", flush=True)
+
+    # ---- helm_fem: the bench.py headline (fused VMEM kernel) ----------
+    try:
+        from tpcg.ops.fused_cg import fused_cg_stencil, prepare_coef3
+        from tpcg.problems import helm_fe, plane_wave_rhs
+        N, k = 128, 12.0
+        A = helm_fe(N, k, eps=k)
+        n = N * N
+        nnz = int(np.count_nonzero(np.asarray(A.coef)))
+        coef3 = jax.device_put(prepare_coef3(A))
+        bg = plane_wave_rhs(N, k)
+        b = jnp.asarray(np.stack([bg.real, bg.imag])[:, None]
+                        .astype(np.float32))
+        x0 = jnp.zeros_like(b)
+        iters = 5000
+        fn = jax.jit(lambda c, b, x: fused_cg_stencil(
+            A.offsets, c, b, x, iters)[1][-1])
+        dt = time_reps(fn, coef3, b, x0)
+        record("helm_fem", n, nnz, iters, dt, cplx=True)
+    except Exception as e:
+        print(f"helm_fem FAILED: {str(e)[:200]}", flush=True)
+
+    out = ["# Reference Fig. 5 suite (synthetic analogues, TPU v5e)", "",
+           "Reference numbers: report Fig. 5, RTX 2080S, 'this impl' "
+           "series.  Matrices are synthetic stand-ins of the same size "
+           "class / structure (see module docstring); GFLOPS per report "
+           "Table II accounting.", "",
+           "| case | n | nnz | time (s) | GFLOPS | ref GFLOPS | speedup |",
+           "|---|---|---|---|---|---|---|"]
+    for tag, n, nnz, dt, gf, ref in rows:
+        out.append(f"| {tag} | {n} | {nnz} | {dt:.4f} | {gf:.3f} "
+                   f"| {ref} | {gf/ref:.1f}x |")
+    path = os.path.join(os.path.dirname(__file__), "FIG5.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"# wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
