@@ -45,6 +45,24 @@ def test_path_selection(prob, monkeypatch):
     assert plan_stencil_cg(Av, 5, nb=4, interpret=True).path == "xla"
 
 
+def test_stream_real_path_and_routing(monkeypatch):
+    from tpcg.problems.poisson import poisson
+    N, iters = 48, 20
+    A = poisson(N, dtype=np.float64)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal((N, N)).astype(np.float32)
+    # real problems stay on xla below the size threshold...
+    assert plan_stencil_cg(A, 5, interpret=True).path == "xla"
+    # ...and stream once past it (single RHS only)
+    monkeypatch.setattr(auto, "_REAL_STREAM_NODES", 16)
+    assert plan_stencil_cg(A, 5, interpret=True).path == "stream-real"
+    assert plan_stencil_cg(A, 5, nb=4, interpret=True).path == "xla"
+    x_ref, h_ref = stencil_cg(A, b, n_iterations=iters, path="xla")
+    x, h = stencil_cg(A, b, n_iterations=iters, path="stream-real",
+                      interpret=True)
+    assert _rel(h, h_ref) < 1e-4
+
+
 def test_stream_coef_path_matches_oracle():
     N, iters = 32, 20
     rng = np.random.default_rng(3)

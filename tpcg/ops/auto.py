@@ -17,6 +17,10 @@ different regime on TPU:
   stream-coef: same two-kernel iteration with per-node coefficient
                planes streamed alongside the state -- variable
                coefficients beyond VMEM, single RHS.
+  stream-real: single-plane streaming iteration for REAL stencils
+               (``stream_cg_real``).  Only picked for very large grids
+               (>= _REAL_STREAM_NODES): the XLA shift-multiply path is
+               already near-roofline for real systems up to N~1024.
   xla        : pure-XLA shift-multiply streaming (``block_cg_planes`` /
                ``block_cg``) -- anything else, any backend; also the
                parity oracle for the Pallas paths.
@@ -37,6 +41,10 @@ import numpy as np
 # grids up to this many nodes fit the VMEM-resident kernels on v5e
 # (empirical: N=512 compiles and runs; N=1024 exceeds VMEM)
 _VMEM_NODES = 512 * 512
+# real streaming only pays off beyond this size (benchmarks/
+# exp_realstream.py: XLA 527 GFLOPS at N=1024, stream-real-const wins
+# 235 vs 179 at N=2048)
+_REAL_STREAM_NODES = 2048 * 2048
 
 
 def _norm_b(b, nv, nh):
@@ -84,6 +92,9 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
 
     if path is None:
         path = "xla"
+        if (not is_complex and on_accel and nb == 1
+                and n >= _REAL_STREAM_NODES):
+            path = "stream-real"
         if is_complex and on_accel:
             try:
                 from .fused_cg_const import split_const_stencil
@@ -209,6 +220,33 @@ def _build_solver(stencil, n_iterations, path, interpret):
             if squeeze:
                 return xc, np.asarray(hist)
             return xc[None], np.asarray(hist)[:, None]
+        return solve
+
+    if path == "stream-real":
+        from . import stream_cg_real as sr
+        try:
+            taps, op_arg = sr.prepare_stream_real(stencil)
+            fn = jax.jit(lambda a, bp, x0p: sr.stream_cg_real_planes(
+                stencil.offsets, stencil.grid, taps, a, bp, x0p,
+                n_iterations, interpret=interpret))
+        except ValueError:
+            op_arg = sr.prepare_stream_coef_real(stencil)
+            fn = jax.jit(lambda a, bp, x0p: sr.stream_cg_real_coef_planes(
+                stencil.offsets, stencil.grid, a, bp, x0p,
+                n_iterations, interpret=interpret))
+
+        def solve(b, x0):
+            B, squeeze = _norm_b(b, nv, nh)
+            assert B.shape[0] == 1, "stream-real path is single-RHS"
+            bp = jnp.asarray(B[0].astype(np.float32))
+            x0p = (jnp.zeros_like(bp) if x0 is None else
+                   jnp.asarray(np.asarray(x0).reshape(nv, nh)
+                               .astype(np.float32)))
+            x, hist = fn(op_arg, bp, x0p)
+            x = np.asarray(x)
+            if squeeze:
+                return x, np.asarray(hist)
+            return x[None], np.asarray(hist)[:, None]
         return solve
 
     if path == "xla":
