@@ -237,13 +237,21 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
         coef = jax.device_put(coef, NamedSharding(mesh, coef_spec))
         b = jax.device_put(b, NamedSharding(mesh, state_spec))
 
+    # NB: coef is passed as a jit ARGUMENT, not a closure constant --
+    # closures bake device arrays into the HLO as constants, which (a)
+    # bloats the remote-compile request and (b) fails outright with
+    # UNIMPLEMENTED on the tunneled TPU backend when a second hsolver()
+    # call in the same process re-embeds a fresh device array.
     if planes:
-        matvec = jax.jit(lambda x: decomp.ax_op_planes(coef, offsets, x))
+        _ax_j = jax.jit(
+            lambda c, x: decomp.ax_op_planes(c, offsets, x))
+        matvec = lambda x: _ax_j(coef, x)
         norm = jax.jit(decomp.norm_planes)
         wdot = jax.jit(decomp.wdot_planes)
         from .fgmres import planes_lincomb as lincomb
     else:
-        matvec = jax.jit(lambda x: decomp.ax_op(coef, offsets, x))
+        _ax_j = jax.jit(lambda c, x: decomp.ax_op(c, offsets, x))
+        matvec = lambda x: _ax_j(coef, x)
         norm = jax.jit(decomp.norm)
         wdot = jax.jit(decomp.wdot)
         lincomb = None
@@ -260,7 +268,16 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
                          restricted=cfg.restricted_as,
                          averaging=bool(cfg.averaging), planes=planes)
         # the UseCG=5 host-NumPy oracle mode cannot be jitted
-        prec = sp.__call__ if method == "numpy" else jax.jit(sp.__call__)
+        if method == "numpy":
+            prec = sp.__call__
+        else:
+            # device operands (_pair / _lu) go in as jit ARGUMENTS --
+            # see the matvec note above (closure constants crash the
+            # second in-process solve on the tunneled TPU backend)
+            _prec_j = jax.jit(
+                lambda st, z: sp.apply_with(st[0], st[1], z))
+            _prec_state = (sp._pair, sp._lu)
+            prec = lambda z: _prec_j(_prec_state, z)
 
     state_shape = ((2,) if planes else ()) + decomp.grid_shape
     sdt = b.dtype
@@ -311,8 +328,12 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
 
     x_out = res.x
     if planes:
+        # Reassemble complex on the HOST.  A complex64 device_put is not
+        # merely slow on the axon TPU backend -- it permanently wedges
+        # the client (every subsequent transfer fails UNIMPLEMENTED),
+        # which is why the planes path exists in the first place.
         xp = np.asarray(res.x)
-        x_out = jnp.asarray((xp[0] + 1j * xp[1]).astype(dtype))
+        x_out = (xp[0] + 1j * xp[1]).astype(dtype)
 
     its = callback.it if callback.it else res.iterations
     tpi = callback.time_per_it / max(its - 1, 1)

@@ -198,6 +198,19 @@ class SchwarzPrec:
         return self.decomp.ol_update_planes(
             r, restricted=self.restricted, averaging=self.averaging)
 
+    def apply_with(self, pair, lu, z):
+        """Apply with explicit device operands (so callers can jit with
+        ``_pair``/``_lu`` as ARGUMENTS instead of closure constants --
+        baked-in device constants crash re-traces on the tunneled TPU
+        backend).  Bypasses ``__init__``/``__post_init__`` on purpose:
+        re-running them inside a trace would redo host-side setup
+        (scipy dense/LU) on traced arrays."""
+        sp2 = object.__new__(SchwarzPrec)
+        sp2.__dict__.update(self.__dict__)
+        sp2._pair = pair
+        sp2._lu = lu
+        return sp2(z)
+
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         """z: (M, M, S, S) complex -> preconditioned correction, same
         shape (or (2, M, M, S, S) float planes when ``planes=True``)."""
