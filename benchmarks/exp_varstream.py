@@ -81,5 +81,43 @@ def main():
             print(f"N={N} FAILED: {str(e)[:300]}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--batch" not in sys.argv:
     main()
+
+
+def batch_sweep():
+    """Multi-RHS coefficient-amortization sweep at N=1024."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+    import tpcg.ops.stream_cg as sc
+    from tpcg.problems import helm_fe_var, plane_wave_rhs
+
+    N, iters, omega = 1024, 500, 12.0
+    rng = np.random.default_rng(0)
+    C = 1.0 + 0.5 * rng.random((N - 1, N - 1))
+    A = helm_fe_var(N, omega, C, rho=0.1)
+    n = N * N
+    nnz = int(np.count_nonzero(np.asarray(A.coef)))
+    coefp = jax.device_put(sc.prepare_stream_coef(A))
+    bg = plane_wave_rhs(N, omega)
+    for nb in (1, 2, 4):
+        B = np.stack([bg * (1 + 0.2j * k) for k in range(nb)])
+        bp = jax.device_put(jnp.asarray(
+            np.stack([B.real, B.imag]).astype(np.float32)))
+        x0p = jnp.zeros_like(bp)
+        flops = iters * nb * (8 * nnz + 40 * n)
+        try:
+            f = jax.jit(lambda cp, b, x: sc.stream_cg_coef_planes_batched(
+                A.offsets, A.grid, cp, b, x, iters)[1])
+            np.asarray(f(coefp, bp, x0p))
+            dt = bench(lambda *a: f(*a)[-1], coefp, bp, x0p)
+            print(f"nb={nb}: {dt/iters*1e6:7.1f} us/it "
+                  f"({dt/iters/nb*1e6:6.1f} us/it/rhs) "
+                  f"{flops/dt/1e9:6.1f} GFLOPS total", flush=True)
+        except Exception as e:
+            print(f"nb={nb} FAILED: {str(e)[:250]}", flush=True)
+
+
+if __name__ == "__main__" and "--batch" in sys.argv:
+    batch_sweep()

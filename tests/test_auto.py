@@ -28,21 +28,21 @@ def test_path_selection(prob, monkeypatch):
     assert plan_stencil_cg(A, 5).path == "xla"
     # "accelerator" (interpret stands in): const interior, fits VMEM
     assert plan_stencil_cg(A, 5, interpret=True).path == "vmem-const"
-    # too big for VMEM + single RHS + const edges -> stream
+    # too big for VMEM + const edges -> stream (any batch; multi-RHS
+    # loops the faster single-RHS kernel)
     monkeypatch.setattr(auto, "_VMEM_NODES", 16)
     assert plan_stencil_cg(A, 5, nb=1, interpret=True).path == "stream"
-    # too big + batched -> xla
-    assert plan_stencil_cg(A, 5, nb=4, interpret=True).path == "xla"
+    assert plan_stencil_cg(A, 5, nb=4, interpret=True).path == "stream"
     # variable coefficients, fits VMEM -> vmem-coef
     monkeypatch.setattr(auto, "_VMEM_NODES", 512 * 512)
     rng = np.random.default_rng(0)
     C = 1.0 + 0.5 * rng.random((N - 1, N - 1))
     Av = helm_fe_var(N, 9.0, C, rho=0.1)
     assert plan_stencil_cg(Av, 5, interpret=True).path == "vmem-coef"
-    # variable coefficients, too big, single RHS -> coefficient streaming
+    # variable coefficients, too big -> coefficient streaming
     monkeypatch.setattr(auto, "_VMEM_NODES", 16)
     assert plan_stencil_cg(Av, 5, interpret=True).path == "stream-coef"
-    assert plan_stencil_cg(Av, 5, nb=4, interpret=True).path == "xla"
+    assert plan_stencil_cg(Av, 5, nb=4, interpret=True).path == "stream-coef"
 
 
 def test_stream_real_path_and_routing(monkeypatch):
@@ -56,7 +56,7 @@ def test_stream_real_path_and_routing(monkeypatch):
     # ...and stream once past it (single RHS only)
     monkeypatch.setattr(auto, "_REAL_STREAM_NODES", 16)
     assert plan_stencil_cg(A, 5, interpret=True).path == "stream-real"
-    assert plan_stencil_cg(A, 5, nb=4, interpret=True).path == "xla"
+    assert plan_stencil_cg(A, 5, nb=4, interpret=True).path == "stream-real"
     x_ref, h_ref = stencil_cg(A, b, n_iterations=iters, path="xla")
     x, h = stencil_cg(A, b, n_iterations=iters, path="stream-real",
                       interpret=True)
@@ -84,6 +84,18 @@ def test_paths_match_xla_oracle(prob, path):
     assert x.shape == (N, N) and h.shape == (iters + 1,)
     assert _rel(h, h_ref) < 5e-3, (path, _rel(h, h_ref))
     assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 5e-2
+
+
+def test_stream_path_multi_rhs(prob):
+    """Multi-RHS through the stream path = looped single-RHS solves."""
+    A, b, N = prob
+    iters = 12
+    B = np.stack([b, b * (1 - 0.4j)])
+    x_ref, h_ref = stencil_cg(A, B, n_iterations=iters, path="xla")
+    x, h = stencil_cg(A, B, n_iterations=iters, path="stream",
+                      interpret=True)
+    assert x.shape == (2, N, N) and h.shape == (iters + 1, 2)
+    assert _rel(h, h_ref) < 5e-3
 
 
 def test_batched_and_x0(prob):

@@ -92,8 +92,7 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
 
     if path is None:
         path = "xla"
-        if (not is_complex and on_accel and nb == 1
-                and n >= _REAL_STREAM_NODES):
+        if not is_complex and on_accel and n >= _REAL_STREAM_NODES:
             path = "stream-real"
         if is_complex and on_accel:
             try:
@@ -104,7 +103,7 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
                 const_interior = False
             if const_interior and n <= _VMEM_NODES:
                 path = "vmem-const"
-            elif const_interior and nb == 1:
+            elif const_interior:
                 try:
                     from .stream_cg import prepare_stream
                     prepare_stream(stencil)
@@ -113,7 +112,7 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
                     path = "stream-coef"
             elif not const_interior and n <= _VMEM_NODES:
                 path = "vmem-coef"
-            elif not const_interior and nb == 1:
+            else:
                 path = "stream-coef"
 
     solve = _build_solver(stencil, n_iterations, path, interpret)
@@ -204,22 +203,30 @@ def _build_solver(stencil, n_iterations, path, interpret):
                 n_iterations, interpret=interpret))
 
         def solve(b, x0):
+            # Multi-RHS runs as sequential single-RHS solves: per-RHS
+            # alpha/beta are independent anyway (clcg.c:317-333), and on
+            # v5e the single-RHS streaming kernel outruns the batched
+            # variant per RHS (191 vs ~240 us/it at N=1024 -- the larger
+            # working set defeats the block-pipeline; see
+            # stream_cg_coef_planes_batched for the measured tradeoff).
             B, squeeze = _norm_b(b, nv, nh)
-            assert B.shape[0] == 1, "stream path is single-RHS"
-            bp = jnp.asarray(np.stack([B[0].real, B[0].imag])
-                             .astype(np.float32))
-            if x0 is None:
-                x0p = jnp.zeros_like(bp)
-            else:
-                X0, _ = _norm_b(x0, nv, nh)
-                x0p = jnp.asarray(np.stack([X0[0].real, X0[0].imag])
-                                  .astype(np.float32))
-            x, hist = fn(strips2, bp, x0p)
-            x = np.asarray(x)
-            xc = (x[0] + 1j * x[1]).astype(np.complex64)
+            X0 = None if x0 is None else _norm_b(x0, nv, nh)[0]
+            xs, hs = [], []
+            for r in range(B.shape[0]):
+                bp = jnp.asarray(np.stack([B[r].real, B[r].imag])
+                                 .astype(np.float32))
+                if X0 is None:
+                    x0p = jnp.zeros_like(bp)
+                else:
+                    x0p = jnp.asarray(np.stack([X0[r].real, X0[r].imag])
+                                      .astype(np.float32))
+                x, hist = fn(strips2, bp, x0p)
+                x = np.asarray(x)
+                xs.append((x[0] + 1j * x[1]).astype(np.complex64))
+                hs.append(np.asarray(hist))
             if squeeze:
-                return xc, np.asarray(hist)
-            return xc[None], np.asarray(hist)[:, None]
+                return xs[0], hs[0]
+            return np.stack(xs), np.stack(hs, axis=1)
         return solve
 
     if path == "stream-real":
@@ -236,17 +243,21 @@ def _build_solver(stencil, n_iterations, path, interpret):
                 n_iterations, interpret=interpret))
 
         def solve(b, x0):
+            # multi-RHS = sequential single-RHS solves (see the complex
+            # stream path note)
             B, squeeze = _norm_b(b, nv, nh)
-            assert B.shape[0] == 1, "stream-real path is single-RHS"
-            bp = jnp.asarray(B[0].astype(np.float32))
-            x0p = (jnp.zeros_like(bp) if x0 is None else
-                   jnp.asarray(np.asarray(x0).reshape(nv, nh)
-                               .astype(np.float32)))
-            x, hist = fn(op_arg, bp, x0p)
-            x = np.asarray(x)
+            X0 = None if x0 is None else _norm_b(x0, nv, nh)[0]
+            xs, hs = [], []
+            for r in range(B.shape[0]):
+                bp = jnp.asarray(B[r].astype(np.float32))
+                x0p = (jnp.zeros_like(bp) if X0 is None else
+                       jnp.asarray(X0[r].astype(np.float32)))
+                x, hist = fn(op_arg, bp, x0p)
+                xs.append(np.asarray(x))
+                hs.append(np.asarray(hist))
             if squeeze:
-                return x, np.asarray(hist)
-            return x[None], np.asarray(hist)[:, None]
+                return xs[0], hs[0]
+            return np.stack(xs), np.stack(hs, axis=1)
         return solve
 
     if path == "xla":
