@@ -21,10 +21,12 @@ from .cg import block_cg
 from .sparse import to_device_matrix
 
 
-def _solve_planes(A, B, X0, n_iterations):
+def _solve_planes(A, B, X0, n_iterations, Pop=None):
     """Two-plane float solve of a complex system (TPU backends here
     cannot execute complex64 programs; see tpcg/ops/cplx.py).  complex128
-    inputs degrade to float32 planes unless x64 is enabled."""
+    inputs degrade to float32 planes unless x64 is enabled.
+    ``Pop`` overrides the operator (e.g. a ``routed_pair`` for
+    unstructured matrices)."""
     import warnings
     import jax
     import jax.numpy as jnp
@@ -37,7 +39,8 @@ def _solve_planes(A, B, X0, n_iterations):
         warnings.warn(
             "complex128 solve on a non-CPU backend runs in float32 planes "
             "(enable jax x64 for double precision)", stacklevel=3)
-    Pop = make_pair_operator(A, dtype=fdt)
+    if Pop is None:
+        Pop = make_pair_operator(A, dtype=fdt)
     res = block_cg_planes(Pop, to_planes(B, fdt),
                           to_planes(X0, fdt) if X0 is not None else None,
                           n_iterations=n_iterations)
@@ -74,16 +77,32 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
                            np.asarray(a_pointers)), shape=(size, size))
     # banded (possibly after RCM reordering) -> gather-free DIA layout;
     # residual histories are permutation-invariant, so reordering is
-    # transparent at this boundary.
-    A, perm = to_device_matrix(A_sci, reorder=True)
+    # transparent at this boundary.  On TPU, genuinely unstructured real
+    # matrices fall through to the routing-network SpMV instead of the
+    # slow ELL gather (complex ones are routed below via routed_pair).
+    on_tpu = jax_default_backend() != "cpu"
+    A, perm = to_device_matrix(A_sci, reorder=True,
+                               route_fallback=on_tpu and not is_complex)
     B = np.asarray(b, dtype=dtype).reshape(n_rhs, size).T      # (n, nrhs)
     X0 = np.asarray(x, dtype=dtype).reshape(n_rhs, size).T \
         if x is not None else None
     if perm is not None:
         B = B[perm]
         X0 = X0[perm] if X0 is not None else None
-    if is_complex and jax_default_backend() != "cpu":
-        X, history = _solve_planes(A, B, X0, n_iterations)
+    if is_complex and on_tpu:
+        Pop = None
+        from .sparse import EllMatrix
+        if isinstance(A, EllMatrix):
+            # unstructured complex on TPU: shared-routing Karatsuba
+            # planes operator (one Benes routing of the sparsity
+            # pattern, three value planes)
+            import jax as _jax
+            from .ops.routing import build_routing_spmv
+            from .ops.route_spmv import routed_pair
+            Pop = routed_pair(build_routing_spmv(A_sci),
+                              interpret=_jax.devices()[0].platform
+                              == "cpu")
+        X, history = _solve_planes(A, B, X0, n_iterations, Pop=Pop)
     else:
         if X0 is not None:
             X0 = jnp.asarray(X0)
@@ -110,10 +129,15 @@ def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
     from jax import default_backend
 
     perm = None
+    A_sci = None
+    on_tpu = default_backend() != "cpu"
     if sp.issparse(A):
-        # same RCM policy as ``cg`` (a shuffled banded matrix must land on
-        # the gather-free DIA path through every entry point)
-        A, perm = to_device_matrix(A, reorder=True)
+        # same RCM / routing policy as ``cg`` (a shuffled banded matrix
+        # must land on the gather-free DIA path through every entry
+        # point; unstructured ones on the routing network, not ELL)
+        A_sci = sp.csr_matrix(A)
+        A, perm = to_device_matrix(A_sci, reorder=True,
+                                   route_fallback=on_tpu)
     n = A.shape[0]
     b = np.asarray(b)
     n_rhs = n_rhs or (b.size // n)
@@ -128,8 +152,15 @@ def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
     if is_complex and not np.iscomplexobj(B):
         B = B.astype(np.result_type(B.dtype, A.dtype))
         X0 = X0.astype(B.dtype) if X0 is not None else None
-    if is_complex and default_backend() != "cpu":
-        X, history = _solve_planes(A, B, X0, n_iterations)
+    if is_complex and on_tpu:
+        Pop = None
+        from .sparse import EllMatrix as _Ell
+        if isinstance(A, _Ell) and A_sci is not None:
+            from .ops.routing import build_routing_spmv
+            import jax as _jax
+            from .ops.route_spmv import routed_pair
+            Pop = routed_pair(build_routing_spmv(A_sci), interpret=_jax.devices()[0].platform == "cpu")
+        X, history = _solve_planes(A, B, X0, n_iterations, Pop=Pop)
     else:
         result = block_cg(A, jnp.asarray(B),
                           jnp.asarray(X0) if X0 is not None else None,

@@ -315,8 +315,12 @@ def to_device_matrix(A, prefer_dia_band: int = 4096, reorder: bool = False,
         if _dia_worthwhile(Ap, prefer_dia_band):
             return DiaMatrix.from_scipy(Ap), perm
         if route_fallback and not np.iscomplexobj(A.data):
+            import jax
             from .ops.routing import build_routing_spmv
             from .ops.route_spmv import DeviceRouted
-            return DeviceRouted(build_routing_spmv(A)), None
+            # pallas on an actual-CPU platform only runs interpreted
+            interp = jax.devices()[0].platform == "cpu"
+            return DeviceRouted(build_routing_spmv(A),
+                                interpret=interp), None
         return EllMatrix.from_scipy(A), None
     return EllMatrix.from_scipy(A)
