@@ -26,8 +26,10 @@ def test_path_selection(prob, monkeypatch):
     A, b, N = prob
     # CPU backend, no interpret -> always xla
     assert plan_stencil_cg(A, 5).path == "xla"
-    # "accelerator" (interpret stands in): const interior, fits VMEM
-    assert plan_stencil_cg(A, 5, interpret=True).path == "vmem-const"
+    # "accelerator" (interpret stands in): fits VMEM -> coefficient
+    # kernel (measured faster than the const-tap variant at every
+    # VMEM-resident size)
+    assert plan_stencil_cg(A, 5, interpret=True).path == "vmem-coef"
     # too big for VMEM + const edges -> stream (any batch; multi-RHS
     # loops the faster single-RHS kernel)
     monkeypatch.setattr(auto, "_VMEM_NODES", 16)

@@ -4,13 +4,14 @@ The framework has four execution paths for the fixed-iteration complex
 block-CG of the reference (``clcg.c:111-466``), each fastest in a
 different regime on TPU:
 
-  vmem-const : whole solve in one Pallas kernel, coefficients folded to
-               compile-time scalars (``fused_cg_const``) -- fastest when
-               the grid fits VMEM (N <= 512) and the stencil interior is
-               constant (FE/FD assemblies on uniform meshes).
   vmem-coef  : whole solve in one Pallas kernel with coefficient planes
-               resident in VMEM (``fused_cg``) -- variable-coefficient
-               grids up to N <= 512, any RHS batch.
+               resident in VMEM (``fused_cg``) -- the default for any
+               grid up to N <= 512, any RHS batch (VMEM coefficient
+               reads are nearly free; measured faster than vmem-const
+               at every VMEM-resident size).
+  vmem-const : whole solve in one Pallas kernel, coefficients folded to
+               compile-time scalars (``fused_cg_const``) -- available
+               explicitly for constant-interior stencils.
   stream     : HBM-streaming two-kernel iteration (``stream_cg``) --
                constant-coefficient grids beyond VMEM (N >= 1024),
                single RHS.
@@ -95,25 +96,24 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
         if not is_complex and on_accel and n >= _REAL_STREAM_NODES:
             path = "stream-real"
         if is_complex and on_accel:
-            try:
-                from .fused_cg_const import split_const_stencil
-                split_const_stencil(stencil)
-                const_interior = True
-            except ValueError:
-                const_interior = False
-            if const_interior and n <= _VMEM_NODES:
-                path = "vmem-const"
-            elif const_interior:
+            if n <= _VMEM_NODES:
+                # measured on v5e (helm_fe, 5000/2000 its): the
+                # coefficient-planes kernel beats the const-tap variant
+                # at every VMEM-resident size (203 vs 179 GFLOPS at
+                # N=128, 775 vs 684 at N=512) -- VMEM coefficient reads
+                # are nearly free, the const kernel's strip/edge
+                # corrections are not.  vmem-const stays available as an
+                # explicit path.
+                path = "vmem-coef"
+            else:
+                # beyond VMEM the coefficient traffic is real HBM bytes:
+                # fold constant interiors to compile-time taps
                 try:
                     from .stream_cg import prepare_stream
                     prepare_stream(stencil)
                     path = "stream"
                 except ValueError:
                     path = "stream-coef"
-            elif not const_interior and n <= _VMEM_NODES:
-                path = "vmem-coef"
-            else:
-                path = "stream-coef"
 
     solve = _build_solver(stencil, n_iterations, path, interpret)
     return StencilCGPlan(path=path, grid=(nv, nh),

@@ -153,17 +153,32 @@ def fused_cg_const_planes(offsets, grid, cr, ci, strips4, bp, x0p,
 
     def apply_const(dr_pad, di_pad, sb_ref, st_ref, sl_ref, sr_ref,
                     qr_s, qi_s):
+        # taps with EQUAL coefficients (FE stencils: 4 edge neighbours,
+        # 2/4 diagonals) are grouped: sum the shifted fields first,
+        # multiply by the coefficient once -- ~40% less VPU work on the
+        # 7-point helm_fe apply (same trick as stream_cg K1)
+        igroups = {}
+        for s, (dm, dj) in enumerate(offsets):
+            if cr[s] == 0.0 and ci[s] == 0.0:
+                continue
+            igroups.setdefault((cr[s], ci[s]), []).append((dm, dj))
         qr = jnp.zeros((nb, nv, nh), dtype)
         qi = jnp.zeros((nb, nv, nh), dtype)
-        for s, (dm, dj) in enumerate(offsets):
-            xr = dr_pad[:, P + dm:P + dm + nv, P + dj:P + dj + nh]
-            xi = di_pad[:, P + dm:P + dm + nv, P + dj:P + dj + nh]
-            if cr[s] != 0.0:
-                qr = qr + cr[s] * xr
-                qi = qi + cr[s] * xi
-            if ci[s] != 0.0:
-                qr = qr - ci[s] * xi
-                qi = qi + ci[s] * xr
+        for (gr, gi), offs in igroups.items():
+            (dm, dj) = offs[0]
+            sxr = dr_pad[:, P + dm:P + dm + nv, P + dj:P + dj + nh]
+            sxi = di_pad[:, P + dm:P + dm + nv, P + dj:P + dj + nh]
+            for (dm, dj) in offs[1:]:
+                sxr = sxr + dr_pad[:, P + dm:P + dm + nv,
+                                   P + dj:P + dj + nh]
+                sxi = sxi + di_pad[:, P + dm:P + dm + nv,
+                                   P + dj:P + dj + nh]
+            if gr != 0.0:
+                qr = qr + gr * sxr
+                qi = qi + gr * sxi
+            if gi != 0.0:
+                qr = qr - gi * sxi
+                qi = qi + gi * sxr
         # boundary corrections: D acts only on ring rows/cols.  All
         # slices preserve dims ((nb, 1, Nh) rows / (nb, Nv-2, 1) cols) --
         # integer indexing would squeeze dims and hit slow layouts.
