@@ -132,3 +132,27 @@ def test_cg_unstructured_routes_on_accelerator(monkeypatch):
     rel = (np.abs(h - h_ref) / (np.abs(h_ref) + 1e-30))[pre_cliff]
     assert rel.max() < 5e-3, rel.max()
     assert h[-1] / h[0] < 1e-6 and h_ref[-1] / h_ref[0] < 1e-6
+
+
+def test_cg_matrix_real_routed_complex_rhs(monkeypatch):
+    """Real unstructured matrix + complex RHS on an accelerator: the
+    DeviceRouted operand must wrap into a real-only PairOperator (two
+    independent real routed SpMVs), not crash in make_pair_operator."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(13)
+    n, per_row = 80, 4
+    rows = np.repeat(np.arange(n), per_row)
+    cols = rng.integers(0, n, n * per_row)
+    Ar = sp.csr_matrix((rng.standard_normal(n * per_row) * 0.1,
+                        (rows, cols)), shape=(n, n))
+    Ar = sp.csr_matrix((Ar + Ar.T) * 0.5 + sp.eye(n) * per_row,
+                       dtype=np.float32)
+    bc = (rng.standard_normal(n)
+          + 1j * rng.standard_normal(n)).astype(np.complex64)
+    x = cg_matrix(Ar, bc, n_iterations=40)
+    import scipy.sparse.linalg as spla
+    x_direct = spla.spsolve(Ar.tocsc().astype(np.float64),
+                            bc.astype(np.complex128))
+    np.testing.assert_allclose(x, x_direct, rtol=3e-3, atol=3e-4)

@@ -112,3 +112,13 @@ def test_batched_and_x0(prob):
                       interpret=True)
     assert x.shape == (2, N, N) and h.shape == (iters + 1, 2)
     assert _rel(h, h_ref) < 5e-3
+
+
+def test_explicit_batch_axis_preserved(prob):
+    """A (1, Nv, Nh) input keeps its batch axis in the outputs."""
+    A, b, N = prob
+    x, h = stencil_cg(A, b[None], n_iterations=5, path="xla")
+    assert x.shape == (1, N, N) and h.shape == (6, 1)
+    x2, h2 = stencil_cg(A, b, n_iterations=5, path="xla")
+    assert x2.shape == (N, N) and h2.shape == (6,)
+    np.testing.assert_allclose(x[0], x2, rtol=1e-6)

@@ -122,3 +122,18 @@ def test_routed_pair_complex_matches_scipy():
     h = np.asarray(res.residual_history)[:, 0]
     np.testing.assert_allclose(h, hist[:, 0], rtol=1e-3,
                                atol=1e-4 * hist[0, 0])
+
+
+def test_routed_small_matrix_pads_to_lane_width():
+    """n < 128 pads the network to one (128,) lane row instead of a
+    zero-row reshape crash in DeviceRouted."""
+    A = _random_sym(50, 3, seed=21)
+    R = build_routing_spmv(A)
+    assert R.m >= 128
+    x = np.random.default_rng(2).standard_normal(50).astype(np.float32)
+    np.testing.assert_allclose(R.matvec_numpy(x), A @ x, rtol=1e-5,
+                               atol=1e-6)
+    D = DeviceRouted(R, interpret=True)
+    import jax.numpy as jnp
+    y = np.asarray(D.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-5, atol=1e-6)

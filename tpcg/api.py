@@ -21,6 +21,31 @@ from .cg import block_cg
 from .sparse import to_device_matrix
 
 
+def _routed_planes_op(A_container, A_sci):
+    """Operator override for the planes solve when the container is not
+    pair-splittable: unstructured matrices reached via route_fallback.
+
+    * EllMatrix (complex values, routing not yet built): build the
+      shared-routing Karatsuba planes operator from the scipy matrix.
+    * DeviceRouted (real values routed, complex RHS): wrap as a
+      real-only PairOperator -- two independent real routed SpMVs.
+    Returns None when the container splits normally (DIA/stencil)."""
+    from .sparse import EllMatrix
+    from .ops.route_spmv import DeviceRouted
+
+    if isinstance(A_container, EllMatrix) and A_sci is not None:
+        import jax
+        from .ops.routing import build_routing_spmv
+        from .ops.route_spmv import routed_pair
+        return routed_pair(build_routing_spmv(A_sci),
+                           interpret=jax.devices()[0].platform == "cpu")
+    if isinstance(A_container, DeviceRouted):
+        from .ops.cplx import PairOperator
+        return PairOperator(ar=A_container, ai=None, ars=None,
+                            real_only=True)
+    return None
+
+
 def _solve_planes(A, B, X0, n_iterations, Pop=None):
     """Two-plane float solve of a complex system (TPU backends here
     cannot execute complex64 programs; see tpcg/ops/cplx.py).  complex128
@@ -90,19 +115,8 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
         B = B[perm]
         X0 = X0[perm] if X0 is not None else None
     if is_complex and on_tpu:
-        Pop = None
-        from .sparse import EllMatrix
-        if isinstance(A, EllMatrix):
-            # unstructured complex on TPU: shared-routing Karatsuba
-            # planes operator (one Benes routing of the sparsity
-            # pattern, three value planes)
-            import jax as _jax
-            from .ops.routing import build_routing_spmv
-            from .ops.route_spmv import routed_pair
-            Pop = routed_pair(build_routing_spmv(A_sci),
-                              interpret=_jax.devices()[0].platform
-                              == "cpu")
-        X, history = _solve_planes(A, B, X0, n_iterations, Pop=Pop)
+        X, history = _solve_planes(A, B, X0, n_iterations,
+                                   Pop=_routed_planes_op(A, A_sci))
     else:
         if X0 is not None:
             X0 = jnp.asarray(X0)
@@ -153,14 +167,8 @@ def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
         B = B.astype(np.result_type(B.dtype, A.dtype))
         X0 = X0.astype(B.dtype) if X0 is not None else None
     if is_complex and on_tpu:
-        Pop = None
-        from .sparse import EllMatrix as _Ell
-        if isinstance(A, _Ell) and A_sci is not None:
-            from .ops.routing import build_routing_spmv
-            import jax as _jax
-            from .ops.route_spmv import routed_pair
-            Pop = routed_pair(build_routing_spmv(A_sci), interpret=_jax.devices()[0].platform == "cpu")
-        X, history = _solve_planes(A, B, X0, n_iterations, Pop=Pop)
+        X, history = _solve_planes(A, B, X0, n_iterations,
+                                   Pop=_routed_planes_op(A, A_sci))
     else:
         result = block_cg(A, jnp.asarray(B),
                           jnp.asarray(X0) if X0 is not None else None,

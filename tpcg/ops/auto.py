@@ -49,8 +49,11 @@ _REAL_STREAM_NODES = 2048 * 2048
 
 
 def _norm_b(b, nv, nh):
+    # squeeze only for inputs WITHOUT an explicit batch axis: (Nv, Nh)
+    # grids or flat (Nv*Nh,) vectors.  An explicit (1, Nv, Nh) batch
+    # keeps its batch axis in the output.
     b = np.asarray(b)
-    squeeze = b.ndim == 2 or b.size == nv * nh
+    squeeze = b.ndim < 3
     B = b.reshape(-1, nv, nh)
     return B, squeeze
 
@@ -78,7 +81,9 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
                     interpret: bool = False) -> StencilCGPlan:
     """Pick and prepare the fastest CG path for ``stencil``.
 
-    nb : planned RHS batch size (the stream path is single-RHS).
+    nb : planned RHS batch size.  Currently informational only: every
+         path handles any batch (the stream paths loop the faster
+         single-RHS kernel per RHS; see the routing notes below).
     path : force a specific path (mainly for tests/benchmarks).
     interpret : run Pallas kernels in interpret mode (CPU testing).
     """

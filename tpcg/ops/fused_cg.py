@@ -220,6 +220,11 @@ def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
     assert (bv, bh) == (nv, nh), (b.shape, coef3.shape)
     if packed is None:
         packed = nb >= 2
+    # the lane-packed scalar layout carries the nb per-RHS scalars in
+    # one (nb, nh) tile (eye-extract for the history); more RHS than
+    # lanes cannot pack -- fall back to the unrolled scalar recurrences
+    if packed and nb > nh:
+        packed = False
     P = _pad_for(offsets)
     pv, ph = nv + 2 * P, nh + 2 * P
     dt = b.dtype

@@ -281,7 +281,10 @@ def build_routing_spmv(A, seed: int = 0) -> RoutedSpmv:
     import scipy.sparse as sp
     A = sp.coo_matrix(A)
     n = A.shape[0]
-    m = 1 << int(np.ceil(np.log2(max(n, 2))))
+    # pad to >= 128: the device kernel tiles the routed vector as
+    # (m/128, 128) lanes (tpcg/ops/route_spmv.py), so m below one lane
+    # row is unusable; tiny matrices just route a mostly-empty network
+    m = 1 << int(np.ceil(np.log2(max(n, 128))))
     layers = assign_layers(A.row.astype(np.int64), A.col.astype(np.int64),
                            n, seed=seed)
     L = len(layers)
