@@ -272,15 +272,34 @@ class RoutedSpmv:
         return y[: self.n]
 
 
-def build_routing_spmv(A, seed: int = 0) -> RoutedSpmv:
+def build_routing_spmv(A, seed: int = 0, native: bool = None) -> RoutedSpmv:
     """Preprocess a scipy sparse matrix into routed-layer form.
 
     Complex matrices keep complex64 values (one routing of the shared
     sparsity pattern; the runtime splits Karatsuba planes --
-    ``tpcg.ops.route_spmv.routed_pair``)."""
+    ``tpcg.ops.route_spmv.routed_pair``).
+
+    native : use the C++ preprocessor (``tpcg/native/routing_builder.cpp``,
+    ~10x faster layer+mask construction) when available; the default
+    tries native and falls back to this module's numpy implementation.
+    Either path yields a valid routing (the decompositions differ in
+    layer assignment, the resulting matvec is identical)."""
     import scipy.sparse as sp
     A = sp.coo_matrix(A)
     n = A.shape[0]
+    if native is None or native:
+        from ..native import routing_native
+        nat = (routing_native.build(A.row, A.col, n, seed=seed)
+               if routing_native.available() else None)
+        if nat is not None:
+            masks, layer, m = nat
+            vdt = (np.complex64 if np.iscomplexobj(A.data)
+                   else np.float32)
+            vals = np.zeros((masks.shape[0], m), dtype=vdt)
+            vals[layer, A.row] = A.data.astype(vdt)
+            return RoutedSpmv(masks=masks, vals=vals, n=n)
+        if native:
+            raise RuntimeError("native routing builder unavailable")
     # pad to >= 128: the device kernel tiles the routed vector as
     # (m/128, 128) lanes (tpcg/ops/route_spmv.py), so m below one lane
     # row is unusable; tiny matrices just route a mostly-empty network
