@@ -168,7 +168,14 @@ void* tpcg_route_build(int64_t n, int64_t nnz, const int64_t* rows,
         std::fill(src_used.begin(), src_used.end(), 0);
         const int32_t L = (int32_t)perms.size();
         size_t w = 0;
-        for (size_t a = 0; a < alive.size(); a++) {
+        // rotate which rows pick first each layer -- a fixed order
+        // starves the tail rows (they lose every column race), which
+        // shows up as ~10-15% extra layers on heavy matrices
+        const size_t na = alive.size();
+        const size_t roff = na ? (size_t)((uint64_t)(L + 1) * 9973u % na)
+                               : 0;
+        std::rotate(alive.begin(), alive.begin() + roff, alive.end());
+        for (size_t a = 0; a < na; a++) {
             const int64_t r = alive[a];
             auto& es = row_edges[r];
             // rotate the scan start per layer: a fixed probe order
