@@ -32,3 +32,27 @@ def test_helmholtz_cli_usecg6_builds_mesh(tmp_path, capsys, monkeypatch):
            if "####it:" in ln]
     assert len(its) == 2 and its[0] == its[1]
     assert os.path.exists(tmp_path / "output_2_6_40.txt")
+
+
+def test_route_cli_roundtrip(tmp_path):
+    """route subcommand: build + save tables; RoutedSpmv.load gives the
+    same operator."""
+    import scipy.io
+    import scipy.sparse as sp
+    from tpcg.cli import main
+    from tpcg.ops.routing import RoutedSpmv
+
+    rng = np.random.default_rng(17)
+    n = 120
+    rows = np.repeat(np.arange(n), 3)
+    cols = rng.integers(0, n, n * 3)
+    A = sp.coo_matrix((rng.standard_normal(n * 3), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    mtx = tmp_path / "r.mtx"
+    out = tmp_path / "r.npz"
+    scipy.io.mmwrite(str(mtx), A)
+    assert main(["route", str(mtx), str(out)]) == 0
+    R = RoutedSpmv.load(str(out))
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(R.matvec_numpy(x), A @ x, rtol=1e-5,
+                               atol=1e-6)

@@ -15,6 +15,12 @@
     UseCG (e.g. ``0,2,5``) to sweep several variants like
     ``p_h-PY_C-CL.py``'s ``cgs=[0,1,2,5]`` (:3622); failures are recorded
     as 0 like the reference (:3715-3718).
+
+``python -m tpcg.cli route <matrix.mtx> <out.npz>``
+    Offline preprocessing for the routing-network SpMV: decompose the
+    sparsity into matching layers and build the Benes switch masks
+    (native C++ builder when available), persisting the tables for
+    serving-time ``RoutedSpmv.load``.
 """
 from __future__ import annotations
 
@@ -126,6 +132,30 @@ def run_helmholtz_cli(argv):
     return 0
 
 
+def run_route_cli(argv):
+    if len(argv) != 2:
+        print("Usage: tpcg route <input matrix file> <output .npz>",
+              file=sys.stderr)
+        return 1
+    path, out = argv
+    from .io import load_matrix_market
+    from .ops.routing import build_routing_spmv
+
+    try:
+        A = load_matrix_market(path)
+    except FileNotFoundError:
+        print(f"Could not read matrix: {path}", file=sys.stderr)
+        return 1
+    print(f"loaded {path}: n={A.shape[0]} nnz={A.nnz}")
+    t0 = time.time()
+    R = build_routing_spmv(A)
+    dt = time.time() - t0
+    R.save(out)
+    print(f"routing built in {dt:.1f}s: {R.n_layers} layers, m={R.m}, "
+          f"masks {R.masks.nbytes / 1e6:.0f} MB -> {out}")
+    return 0
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
@@ -136,6 +166,8 @@ def main(argv=None):
         return run_cg_cli(rest)
     if cmd == "helmholtz":
         return run_helmholtz_cli(rest)
+    if cmd == "route":
+        return run_route_cli(rest)
     print(f"unknown command {cmd!r}", file=sys.stderr)
     print(__doc__)
     return 1

@@ -261,6 +261,19 @@ class RoutedSpmv:
     def n_layers(self):
         return self.vals.shape[0]
 
+    def save(self, path: str) -> None:
+        """Persist the preprocessed tables (production workflow: build
+        once offline -- ``python -m tpcg.cli route`` -- and load at
+        serving time; the build is minutes for ~10M nnz, the load is a
+        file read)."""
+        np.savez_compressed(path, masks=self.masks, vals=self.vals,
+                            n=self.n)
+
+    @classmethod
+    def load(cls, path: str) -> "RoutedSpmv":
+        z = np.load(path)
+        return cls(masks=z["masks"], vals=z["vals"], n=int(z["n"]))
+
     def matvec_numpy(self, x: np.ndarray) -> np.ndarray:
         """Host simulation (tests)."""
         dt = np.result_type(self.vals.dtype, np.asarray(x).dtype)
