@@ -122,3 +122,24 @@ def test_explicit_batch_axis_preserved(prob):
     x2, h2 = stencil_cg(A, b, n_iterations=5, path="xla")
     assert x2.shape == (N, N) and h2.shape == (6,)
     np.testing.assert_allclose(x[0], x2, rtol=1e-6)
+
+
+def test_flat_batched_rhs_not_squeezed(prob):
+    """Flat (B*Nv*Nh,) and column-stacked (B, Nv*Nh) multi-RHS inputs
+    must solve every RHS (regression: the old squeeze heuristic silently
+    returned only the first)."""
+    A, b, N = prob
+    B = np.stack([b, b * (1 + 0.3j), b * 0.5])
+    x_ref, _ = stencil_cg(A, B, n_iterations=8, path="xla")
+    for form in (B.reshape(-1), B.reshape(3, N * N)):
+        x, h = stencil_cg(A, form, n_iterations=8, path="xla")
+        assert x.shape == (3, N, N) and h.shape == (9, 3)
+        np.testing.assert_allclose(x, x_ref, rtol=1e-6)
+
+
+def test_prime_grid_falls_back_to_xla(monkeypatch):
+    """A grid height with no viable row-block divisor must not pick a
+    streaming path."""
+    monkeypatch.setattr(auto, "_VMEM_NODES", 16)
+    A = helm_fe(67, 9.0, eps=9.0)        # 67 prime
+    assert plan_stencil_cg(A, 5, interpret=True).path == "xla"

@@ -112,3 +112,18 @@ def test_hsolver_planes_block_cg():
                           dtype="complex64", use_planes=True, verbose=0)
     res = hsolver(cfg)
     assert res.converged
+
+
+def test_hsolver_var_coeff_planes():
+    """Variable-coefficient solve in two-plane mode (the TPU default):
+    the per-subdomain (coef3, offsets) preconditioner pair must jit with
+    the offsets STATIC (regression: passing the tuple through the jit
+    argument pytree turned the int offsets into tracers and crashed
+    every var_coeff planes solve)."""
+    cfg = HelmholtzConfig(k=6.0, M_subd=2, W_subd=8, var_coeff=True,
+                          mar_mult_in=2.0, mar_mult_out=1.0, use_cg=2,
+                          cg_max_it=300, tol=1e-6, restart=100,
+                          dtype="complex64", use_planes=True, verbose=0)
+    res = hsolver(cfg)
+    assert res.converged
+    assert res.true_residual < 5e-4

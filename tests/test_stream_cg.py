@@ -84,6 +84,21 @@ def test_stream_coef_matches_xla_history():
     assert rel.max() < 5e-3, rel.max()
 
 
+def test_stream_odd_grid_height():
+    """Odd grid heights (the distributed solver's N = (W-1)*M + 1
+    family) must still stream in row blocks -- regression for
+    _pick_block_rows degenerating to one whole-grid block."""
+    from tpcg.ops.stream_cg import _pick_block_rows
+    assert _pick_block_rows(65) == 13            # divisor fallback
+    N, iters, k = 65, 15, 9.0
+    A = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    x, hist = stream_cg_const(A, b, n_iterations=iters, interpret=True)
+    hs = _oracle_hist(A, b, iters)
+    rel = np.abs(np.asarray(hist) - hs) / (np.abs(hs) + 1e-30)
+    assert rel.max() < 5e-3, rel.max()
+
+
 def test_stream_coef_batched_matches_oracle():
     """The multi-RHS coefficient-streaming kernel: per-RHS independent
     alpha/beta (``clcg.c:317-333``), coefficient blocks shared across

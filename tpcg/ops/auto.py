@@ -49,11 +49,14 @@ _REAL_STREAM_NODES = 2048 * 2048
 
 
 def _norm_b(b, nv, nh):
-    # squeeze only for inputs WITHOUT an explicit batch axis: (Nv, Nh)
-    # grids or flat (Nv*Nh,) vectors.  An explicit (1, Nv, Nh) batch
-    # keeps its batch axis in the output.
+    # squeeze only for inputs WITHOUT a batch axis: an (Nv, Nh) grid or
+    # a flat (Nv*Nh,) vector.  Anything else -- explicit (B, Nv, Nh),
+    # flat (B*Nv*Nh,), column-stacked (B, Nv*Nh) -- keeps its batch
+    # axis in the output (a ``squeeze = ndim < 3`` heuristic silently
+    # returned only the first RHS for flat batches).
     b = np.asarray(b)
-    squeeze = b.ndim < 3
+    squeeze = (b.shape == (nv, nh)
+               or (b.ndim == 1 and b.size == nv * nh))
     B = b.reshape(-1, nv, nh)
     return B, squeeze
 
@@ -96,9 +99,19 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
     is_complex = np.iscomplexobj(coef)
     on_accel = default_backend() != "cpu" or interpret
 
+    def _streamable():
+        # the streaming kernels need a viable row-block decomposition:
+        # prime-ish grid heights (no divisor >= 8) would degenerate to
+        # one whole-grid block (VMEM blowup) or lane-starved tiny blocks
+        from .stream_cg import _pick_block_rows
+        bv = _pick_block_rows(nv)
+        return nv // bv >= 2 and bv >= 8
+
+    prepared = None
     if path is None:
         path = "xla"
-        if not is_complex and on_accel and n >= _REAL_STREAM_NODES:
+        if (not is_complex and on_accel and n >= _REAL_STREAM_NODES
+                and _streamable()):
             path = "stream-real"
         if is_complex and on_accel:
             if n <= _VMEM_NODES:
@@ -110,17 +123,20 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
                 # corrections are not.  vmem-const stays available as an
                 # explicit path.
                 path = "vmem-coef"
-            else:
+            elif _streamable():
                 # beyond VMEM the coefficient traffic is real HBM bytes:
-                # fold constant interiors to compile-time taps
+                # fold constant interiors to compile-time taps.  The
+                # probe's result is kept and handed to the solver --
+                # prepare_stream scans the whole coefficient array.
                 try:
                     from .stream_cg import prepare_stream
-                    prepare_stream(stencil)
+                    prepared = prepare_stream(stencil)
                     path = "stream"
                 except ValueError:
                     path = "stream-coef"
 
-    solve = _build_solver(stencil, n_iterations, path, interpret)
+    solve = _build_solver(stencil, n_iterations, path, interpret,
+                          prepared=prepared)
     return StencilCGPlan(path=path, grid=(nv, nh),
                          n_iterations=n_iterations, _solve=solve)
 
@@ -136,7 +152,7 @@ def stencil_cg(stencil, b, x0=None, n_iterations: int = 10,
     return plan.solve(b, x0)
 
 
-def _build_solver(stencil, n_iterations, path, interpret):
+def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
     import jax
     import jax.numpy as jnp
 
@@ -195,7 +211,8 @@ def _build_solver(stencil, n_iterations, path, interpret):
     if path in ("stream", "stream-coef"):
         if path == "stream":
             from .stream_cg import prepare_stream, stream_cg_const_planes
-            taps, strips2 = prepare_stream(stencil)
+            taps, strips2 = (prepared if prepared is not None
+                             else prepare_stream(stencil))
             fn = jax.jit(lambda s2, bp, x0p: stream_cg_const_planes(
                 stencil.offsets, stencil.grid, taps, s2, bp, x0p,
                 n_iterations, interpret=interpret))

@@ -190,9 +190,8 @@ def fused_cg_const_planes(offsets, grid, cr, ci, strips4, bp, x0p,
         col_l_i = jnp.zeros((nb, nv - 2, W), dtype)
         col_r_r = jnp.zeros((nb, nv - 2, W), dtype)
         col_r_i = jnp.zeros((nb, nv - 2, W), dtype)
-        for s, (dm, dj) in enumerate(offsets):
-            if "rows" not in _parts:
-                break
+        for s, (dm, dj) in (enumerate(offsets) if "rows" in _parts
+                            else ()):
             # row m=0 taps d[dm, j+dj]; row m=nv-1 taps d[nv-1+dm, j+dj]
             xb_r = dr_pad[:, P + dm:P + dm + 1, P + dj:P + dj + nh]
             xb_i = di_pad[:, P + dm:P + dm + 1, P + dj:P + dj + nh]
@@ -206,9 +205,8 @@ def fused_cg_const_planes(offsets, grid, cr, ci, strips4, bp, x0p,
             ar, ai = st_ref[0, s], st_ref[1, s]
             row_top_r += ar * xt_r - ai * xt_i
             row_top_i += ar * xt_i + ai * xt_r
-        for s, (dm, dj) in enumerate(offsets):
-            if "cols" not in _parts:
-                break
+        for s, (dm, dj) in (enumerate(offsets) if "cols" in _parts
+                            else ()):
             # col j=0 rows 1..nv-2 tap d[m+dm, dj] (one-hot in the W-wide
             # edge window); col j=nh-1 taps the right-edge window
             xl_r = dr_pad[:, P + 1 + dm:P + nv - 1 + dm,

@@ -100,8 +100,15 @@ def prepare_stream(stencil, dtype=np.float32):
 
 
 def _pick_block_rows(nv: int) -> int:
+    """Largest viable row-block size: prefers the measured sweet spot
+    (128), falls back to any divisor <= 256 so odd grid heights (e.g.
+    the distributed solver's N = (W-1)*M + 1 grids) still stream in
+    blocks instead of degenerating to one whole-grid block."""
     for bv in (128, 64, 256, 32, 16, 8):
         if nv % bv == 0 and nv // bv >= 2:
+            return bv
+    for bv in range(min(nv // 2, 256), 0, -1):
+        if nv % bv == 0:
             return bv
     return nv
 

@@ -90,7 +90,7 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
            tol: float = 1e-6, krylsize: int = 100, norm=None, wdot=None,
            lincomb=None, lincomb_dev=None, planes: Optional[bool] = None,
            jit_tail: bool = True, check_triangular: bool = False,
-           chunk: int = 1,
+           chunk: int = 1, operands=None,
            callback: Optional[Callable] = None) -> FGMRESResult:
     """Solve ``A x = b`` with one FGMRES cycle of up to ``krylsize`` steps.
 
@@ -121,6 +121,12 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         applications; the extra orthonormal basis columns are ignored by
         the back-substitution (y is zero past the convergence index).
         Requires a jittable M; chunk=1 reproduces the reference exactly.
+    operands : optional pytree of device arrays for the operator and
+        preconditioner.  When given, the calling conventions become
+        ``matvec(operands, x)`` and ``M(operands, z)`` and the arrays
+        flow through the jitted Arnoldi programs as arguments instead of
+        closure constants (which get re-embedded into the HLO on every
+        fresh solve).
     tol : relative to ||r0|| (``:2938-2939``).
     """
     if norm is None:
@@ -130,8 +136,23 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
             jnp.conj(V) * v, axis=tuple(range(1, V.ndim)))
     if lincomb is None:
         lincomb = _native_lincomb
-    if M is None:
-        M = lambda z: z
+
+    # ``operands`` threads the operator/preconditioner device arrays
+    # through the jitted Arnoldi programs as ARGUMENTS: with plain
+    # closures they are baked into the HLO as constants, which bloats
+    # every re-trace and re-embeds fresh device arrays per solve (the
+    # tunneled-TPU failure mode hsolver works around).  When given,
+    # ``matvec(operands, x)`` / ``M(operands, z)`` are the calling
+    # conventions; the default keeps the 1-arg closure style.
+    if operands is None:
+        _ops = ()
+        mv2 = lambda ops, x: matvec(x)
+        M2 = (lambda ops, z: M(z)) if M is not None else (
+            lambda ops, z: z)
+    else:
+        _ops = operands
+        mv2 = matvec
+        M2 = M if M is not None else (lambda ops, z: z)
 
     b = jnp.asarray(b)
     shape, dtype = b.shape, b.dtype
@@ -140,7 +161,7 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         r = b
     else:
         x = jnp.asarray(x0, dtype=dtype)
-        r = b - matvec(x)
+        r = b - mv2(_ops, x)
     norm_b = float(norm(r))
     residual_norms = [norm_b]
     if norm_b == 0.0:
@@ -171,13 +192,13 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
 
     import jax
 
-    def arnoldi_tail(VV, MV, v, kk, active):
+    def arnoldi_tail(ops, VV, MV, v, kk, active):
         """Everything after the preconditioner, fused into one device
         program: matvec, two-pass CGS, subdiagonal norm, basis update.
         One host sync per iteration (the (hcol, h_sub) fetch) instead of
         three -- on the tunneled TPU each sync costs ~30 ms."""
         MV = MV.at[kk].set(v)
-        pp = matvec(v)
+        pp = mv2(ops, v)
         d1 = wdot(VV, pp) * active
         pp = pp - lincomb_dev(d1, VV)
         d2 = wdot(VV, pp) * active
@@ -220,15 +241,15 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         # program, host Givens afterwards (see docstring).
         adt = np.float32 if planes_mode else np.float64
 
-        def arnoldi_chunk(VV, MV, kk0, steps):
+        def arnoldi_chunk(ops, VV, MV, kk0, steps):
             hcols, hsubs = [], []
             for t in range(steps):
                 kk = kk0 + t
                 z = VV[kk]
-                v = M(z)
+                v = M2(ops, z)
                 active = (jnp.arange(K + 1) <= kk).astype(adt)
                 MV = MV.at[kk].set(v)
-                pp = matvec(v)
+                pp = mv2(ops, v)
                 d1 = wdot(VV, pp) * active
                 pp = pp - lincomb_dev(d1, VV)
                 d2 = wdot(VV, pp) * active
@@ -240,12 +261,12 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
                 hsubs.append(h_sub)
             return VV, MV, jnp.stack(hcols), jnp.stack(hsubs)
 
-        chunk_fn = jax.jit(arnoldi_chunk, static_argnums=3)
+        chunk_fn = jax.jit(arnoldi_chunk, static_argnums=4)
         stop = False
         for kk0 in range(0, K, chunk):
             steps = min(chunk, K - kk0)
             VV, MV, hcols_dev, hsubs_dev = chunk_fn(
-                VV, MV, jnp.asarray(kk0), steps)
+                _ops, VV, MV, jnp.asarray(kk0), steps)
             hcols_np = np.asarray(hcols_dev)
             hsubs_np = np.asarray(hsubs_dev)
             for t in range(steps):
@@ -261,7 +282,7 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
     else:
         for kk in range(K):
             z = VV[kk]
-            v = M(z)
+            v = M2(_ops, z)
             # two-pass classical Gram-Schmidt against the active basis
             # (:2977-2984); padded columns are zero and contribute
             # nothing.
@@ -270,12 +291,12 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
                                                       else np.float64))
             try:
                 VV, MV, hcol_dev, h_sub_dev = tail(
-                    VV, MV, v, jnp.asarray(kk), active)
+                    _ops, VV, MV, v, jnp.asarray(kk), active)
             except jax.errors.TracerArrayConversionError:
                 # host-side (non-traceable) operators: fall back to eager
                 tail = arnoldi_tail
                 VV, MV, hcol_dev, h_sub_dev = tail(
-                    VV, MV, v, jnp.asarray(kk), active)
+                    _ops, VV, MV, v, jnp.asarray(kk), active)
             res = host_update(kk, _as_complex(hcol_dev),
                               float(h_sub_dev))
             if res < atol or kk == K - 1:

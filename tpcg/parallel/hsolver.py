@@ -274,10 +274,20 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
             # device operands (_pair / _lu) go in as jit ARGUMENTS --
             # see the matvec note above (closure constants crash the
             # second in-process solve on the tunneled TPU backend)
-            _prec_j = jax.jit(
-                lambda st, z: sp.apply_with(st[0], st[1], z))
-            _prec_state = (sp._pair, sp._lu)
-            prec = lambda z: _prec_j(_prec_state, z)
+            # NB: the tuple-_pair case (var_coeff / robin=0 planes mode)
+            # carries STATIC stencil offsets alongside the coefficient
+            # planes -- those must not ride through jit as leaves (int
+            # offsets would become tracers and crash the static shift
+            # logic); only arrays go in the argument pytree.
+            if isinstance(sp._pair, tuple):
+                _c3, _offs = sp._pair
+                _prec_j = jax.jit(
+                    lambda c3, lu, z: sp.apply_with((c3, _offs), lu, z))
+                prec = lambda z: _prec_j(_c3, sp._lu, z)
+            else:
+                _prec_j = jax.jit(
+                    lambda pair, lu, z: sp.apply_with(pair, lu, z))
+                prec = lambda z: _prec_j(sp._pair, sp._lu, z)
 
     state_shape = ((2,) if planes else ()) + decomp.grid_shape
     sdt = b.dtype
@@ -309,10 +319,33 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
         chunk = cfg.fgmres_chunk
         if chunk > 1 and prec is not None and cfg.use_cg == 5:
             chunk = 1          # host-oracle preconditioner is unjittable
-        res = fgmres(matvec, b, M=prec, x0=x0, tol=cfg.tol,
+        # operands convention: the coefficient planes and preconditioner
+        # arrays ride fgmres's jitted Arnoldi programs as ARGUMENTS (see
+        # the matvec note above -- closure constants re-embed device
+        # arrays on every solve)
+        if planes:
+            mv_ops = lambda ops, x: decomp.ax_op_planes(ops[0], offsets,
+                                                        x)
+        else:
+            mv_ops = lambda ops, x: decomp.ax_op(ops[0], offsets, x)
+        M_ops = None
+        prec_arrays = (None, None)
+        if prec is not None:
+            if method == "numpy":
+                M_ops = lambda ops, z: sp(z)
+            elif isinstance(sp._pair, tuple):
+                _c3o, _offso = sp._pair
+                M_ops = lambda ops, z: sp.apply_with((ops[1], _offso),
+                                                     ops[2], z)
+                prec_arrays = (_c3o, sp._lu)
+            else:
+                M_ops = lambda ops, z: sp.apply_with(ops[1], ops[2], z)
+                prec_arrays = (sp._pair, sp._lu)
+        operands = (coef,) + prec_arrays
+        res = fgmres(mv_ops, b, M=M_ops, x0=x0, tol=cfg.tol,
                      krylsize=cfg.restart, norm=norm, wdot=wdot,
                      lincomb=lincomb, planes=planes, chunk=chunk,
-                     callback=callback)
+                     operands=operands, callback=callback)
     wall = time.time() - t0
 
     # post-solve true-residual verification (:3316-3337)
