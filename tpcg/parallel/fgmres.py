@@ -213,6 +213,11 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         return VV, MV, jnp.asarray(d1) + jnp.asarray(d2), h_sub
 
     tail = jax.jit(arnoldi_tail) if jit_tail else arnoldi_tail
+    # the preconditioner application must run as ONE device program --
+    # eager application dispatches hundreds of tiny ops per call
+    # (measured 7x slower per iteration on the tunneled TPU).  Host-side
+    # (non-traceable) M falls back to eager on the first call.
+    M2j = jax.jit(M2) if jit_tail else M2
 
     def host_update(kk, hcol, h_sub):
         """Givens bookkeeping + convergence test for one new column.
@@ -282,7 +287,12 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
     else:
         for kk in range(K):
             z = VV[kk]
-            v = M2(_ops, z)
+            try:
+                v = M2j(_ops, z)
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                M2j = M2
+                v = M2(_ops, z)
             # two-pass classical Gram-Schmidt against the active basis
             # (:2977-2984); padded columns are zero and contribute
             # nothing.
