@@ -108,9 +108,15 @@ def run_helmholtz_cli(argv):
         banner = USECG_BANNERS.get(cg_mode, "=== -- unknown SubSolver!")
         print(banner.format(it=cg_max_it))
         try:
+            # chunk=4 is the measured per-iteration sweet spot on the
+            # tunneled TPU (86 vs 160 ms/it, exp_hsolver_tpu.py); on CPU
+            # chunk=1 keeps the reference's exact convergence granularity
+            import jax as _jax
+            chunk = 4 if (_jax.default_backend() != "cpu"
+                          and cg_mode != 5) else 1
             cfg = HelmholtzConfig(k=kkk, M_subd=m_s, W_subd=w_s, OL=ol,
                                   use_cg=cg_mode, cg_max_it=cg_max_it,
-                                  verbose=10)
+                                  fgmres_chunk=chunk, verbose=10)
             counter = Counter(verbose=10)
             mesh = _mesh_for(m_s) if cg_mode == 6 else None
             t1 = time.time()
