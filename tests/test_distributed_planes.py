@@ -114,6 +114,56 @@ def test_hsolver_planes_block_cg():
     assert res.converged
 
 
+def test_wgmres_planes_matches_complex():
+    """Component #29's TPU configuration: ``weighted_gmres`` driven with
+    two-plane vectors + the planes reductions/lincomb (as ``hsolver``
+    wires it for the TPU) must track the native-complex run."""
+    from tpcg.parallel.fgmres import planes_lincomb
+    from tpcg.parallel.wgmres import weighted_gmres
+
+    decomp, S, _ = setup()
+    coef = decomp.crop_stencil(np.asarray(S.coef))
+    b = decomp.crop_grid(plane_wave_rhs(decomp.part.N, 6.0))
+
+    mv_c = lambda x: decomp.ax_op(jnp.asarray(coef), S.offsets, x)
+    res_c = weighted_gmres(mv_c, jnp.asarray(b), tol=1e-6, maxiter=400,
+                           norm=decomp.norm, wdot=decomp.wdot)
+
+    coef3 = jnp.asarray(np.stack([coef.real, coef.imag,
+                                  coef.real + coef.imag])
+                        .astype(np.float64))
+    bp = planes64(b)
+    mv_p = lambda x: decomp.ax_op_planes(coef3, S.offsets, x)
+    res_p = weighted_gmres(mv_p, bp, tol=1e-6, maxiter=400,
+                           norm=decomp.norm_planes,
+                           wdot=decomp.wdot_planes,
+                           lincomb=planes_lincomb)
+
+    assert res_c.converged and res_p.converged
+    assert res_p.iterations == res_c.iterations
+    xc = np.asarray(res_c.x)
+    xp = unplanes(res_p.x)
+    np.testing.assert_allclose(xp, xc, rtol=0,
+                               atol=1e-8 * np.abs(xc).max())
+
+
+def test_hsolver_wgmres_planes_e2e():
+    """Dispatcher parity (``p_h-PY_C-CL-multi-GPU.py:3294-3338``):
+    ``gmres_ver='wgmres'`` + ``use_planes=True`` through the full hsolver
+    stack (ORAS preconditioner included) vs the complex CPU run."""
+    cfg = dict(k=6.0, M_subd=2, W_subd=8, use_cg=0, tol=1e-6,
+               restart=100, gmres_ver="wgmres", verbose=0)
+    res_c = hsolver(HelmholtzConfig(dtype="complex128", use_planes=False,
+                                    **cfg))
+    res_p = hsolver(HelmholtzConfig(dtype="complex64", use_planes=True,
+                                    **cfg))
+    assert res_c.converged and res_p.converged
+    assert abs(res_p.iterations - res_c.iterations) <= 1
+    xc = np.asarray(res_c.x)
+    xp = np.asarray(res_p.x)
+    assert np.abs(xp - xc).max() / np.abs(xc).max() < 1e-3
+
+
 def test_hsolver_var_coeff_planes():
     """Variable-coefficient solve in two-plane mode (the TPU default):
     the per-subdomain (coef3, offsets) preconditioner pair must jit with

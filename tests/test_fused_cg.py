@@ -118,6 +118,64 @@ def test_split_const_stencil_exact():
     np.testing.assert_allclose(rec[mask], c[mask], rtol=1e-12)
 
 
+def test_fused_mxu_matches_general():
+    """The MXU (banded lane-matmul) formulation must reproduce the VPU
+    fused kernel on the helm_fem class -- per-column coefficient profiles
+    + boundary-row strips are an exact re-expression of the stencil."""
+    from tpcg.ops.fused_cg_mxu import fused_cg_mxu, prepare_mxu
+    N, k = 20, 5.0
+    S = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    # the H construction must be exact: check one apply against to_scipy
+    H, (sb3, st3), dms = prepare_mxu(S)
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((N, N))
+    Hn = np.asarray(H)
+    q = np.zeros((N, N))
+    from tpcg.ops.fused_cg import _pad_for
+    P = _pad_for(S.offsets)
+    vp = np.zeros((N + 2 * P, N + 2 * P))
+    vp[P:P + N, P:P + N] = v
+    for t, dm in enumerate(dms):
+        q += vp[P + dm:P + dm + N, P:P + N] @ Hn[0, t]
+    q[0] += np.einsum("sj,sj->j", np.asarray(sb3)[0, :, 0, :],
+                      np.stack([vp[P + dm:P + dm + 1,
+                                   P + dj:P + dj + N][0]
+                                for dm, dj in S.offsets]))
+    q[N - 1] += np.einsum("sj,sj->j", np.asarray(st3)[0, :, 0, :],
+                          np.stack([vp[P + N - 1 + dm:P + N + dm,
+                                       P + dj:P + dj + N][0]
+                                    for dm, dj in S.offsets]))
+    want = (S.to_scipy().real @ v.reshape(-1)).reshape(N, N)
+    np.testing.assert_allclose(q, want, rtol=1e-5, atol=1e-5)
+
+    # end-to-end: full solves match the general fused kernel
+    B = np.stack([b, 2 * b, 3 * b])
+    xm, hm = fused_cg_mxu(S, B, n_iterations=25, interpret=True)
+    xg, hg = fused_cg(S, B, n_iterations=25, interpret=True)
+    scale = np.abs(np.asarray(xg)).max()
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(xg), rtol=0,
+                               atol=2e-3 * scale)
+    np.testing.assert_allclose(np.asarray(hm), np.asarray(hg), rtol=2e-2,
+                               atol=1e-3 * float(hg[0, 0]))
+    # single RHS takes the unrolled-scalar body
+    xs, hs = fused_cg_mxu(S, b, n_iterations=25, interpret=True)
+    xg1, _ = fused_cg(S, b, n_iterations=25, interpret=True)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xg1), rtol=0,
+                               atol=2e-3 * scale)
+
+
+def test_fused_mxu_rejects_row_variable():
+    """Coefficients varying across interior rows cannot fold into the
+    lane-matmul form; prepare_mxu must refuse (planner falls back)."""
+    from tpcg.ops.fused_cg_mxu import prepare_mxu
+    from tpcg.problems import helm_fe_var
+    rng = np.random.default_rng(0)
+    S = helm_fe_var(12, 5.0, 0.5 + rng.random((11, 11)), 0.1)
+    with pytest.raises(ValueError):
+        prepare_mxu(S)
+
+
 def test_fused_packed_equals_unrolled_large_batch():
     """The lane-packed scalar layout (batch capacity bounded by VMEM, not
     code size) must reproduce the statically-unrolled recurrences for a

@@ -54,6 +54,86 @@ def test_sharded_halo_and_matvec_match_single_device():
     assert not ol(x).is_fully_replicated
 
 
+def _collective_payloads(txt):
+    """Parse compiled HLO text -> {op_kind: [total elements per def]}.
+
+    Counts only op *definitions* (``%all-gather.3 = ...``); tuple-shaped
+    defs sum their element counts.  Scalar/bookkeeping collectives are
+    expected; what must never appear is a collective that moves
+    state-sized payloads (that would mean GSPMD fell back to gathering
+    the (M, M, S, S) grid instead of neighbour exchange).
+    """
+    import re
+    out = {"all-gather": [], "all-to-all": [], "collective-permute": []}
+    for line in txt.splitlines():
+        m = re.match(r"\s*(?:ROOT )?%(all-gather|all-to-all|"
+                     r"collective-permute)[.\d]*\s*=\s*(.*)", line)
+        if not m:
+            continue
+        kind, rest = m.group(1), m.group(2)
+        # shapes before the op name, e.g. "(c128[1,1,6,6]{...}, ...) all-..."
+        shapes = re.findall(r"[a-z0-9]+\[([\d,]*)\]", rest.split(kind)[0])
+        total = 0
+        for s in shapes:
+            n = 1
+            for d in s.split(","):
+                if d:
+                    n *= int(d)
+            total += n
+        out[kind].append(total)
+    return out
+
+
+def test_sharded_comm_lowers_to_collective_permute():
+    """The docstring claim of ``tpcg/parallel/halo.py`` -- subdomain-grid
+    shifts lower to neighbour ``collective-permute`` (the TPU twin of
+    ``OL_update``'s 8-direction Isend/Irecv,
+    ``p_h-PY_C-CL-multi-GPU.py:2183-2497``), never to an all-gather of the
+    (M, M, S, S) state -- checked against the compiled HLO on the 8-device
+    mesh (the only evidence obtainable without real multi-chip hardware).
+    """
+    from tpcg.parallel.dist_cg import distributed_cg
+
+    part = make_partition(8, 4, 1)
+    decomp = Decomposition(part)
+    S = helm_fe(part.N, k=5.0, eps=5.0)
+    coef_np = decomp.crop_stencil(np.asarray(S.coef))
+    rng = np.random.default_rng(0)
+    x_np = (rng.standard_normal(decomp.grid_shape)
+            + 1j * rng.standard_normal(decomp.grid_shape))
+
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P("sd"))
+    x = jax.device_put(jnp.asarray(x_np), sh)
+    coef = jax.device_put(jnp.asarray(coef_np),
+                          NamedSharding(mesh, P(None, "sd")))
+    b = jax.device_put(jnp.asarray(x_np), sh)
+
+    state_elems = int(np.prod(decomp.grid_shape))        # full grid
+    shard_elems = state_elems // 8                       # one device's rows
+
+    cases = {
+        "ol_update": (jax.jit(decomp.ol_update), (x,)),
+        "ax_op": (jax.jit(lambda c, v: decomp.ax_op(c, S.offsets, v)),
+                  (coef, x)),
+        "cg_step": (jax.jit(lambda c, bb: distributed_cg(
+            decomp, c, S.offsets, bb, n_iterations=3).x), (coef, b)),
+    }
+    for name, (fn, args) in cases.items():
+        txt = fn.lower(*args).compile().as_text()
+        got = _collective_payloads(txt)
+        assert got["collective-permute"], \
+            f"{name}: no collective-permute in compiled HLO"
+        # all-gathers may exist only for scalar reduction plumbing
+        big_ag = [n for n in got["all-gather"] if n >= shard_elems]
+        assert not big_ag, \
+            f"{name}: state-sized all-gather payloads {big_ag}"
+        # all-to-alls may exist only for O(boundary) strip exchange
+        big_a2a = [n for n in got["all-to-all"] if n >= state_elems]
+        assert not big_a2a, \
+            f"{name}: state-sized all-to-all payloads {big_a2a}"
+
+
 def test_hsolver_sharded_matches_unsharded():
     cfg = HelmholtzConfig(k=5.0, M_subd=8, W_subd=4, OL=1, use_cg=2,
                           cg_max_it=150, tol=1e-6, restart=60,

@@ -46,6 +46,34 @@ def _routed_planes_op(A_container, A_sci):
     return None
 
 
+def _resolve_routing(routing, size, is_complex):
+    """Precomputed routing tables -> solve operands.
+
+    ``routing`` is a ``RoutedSpmv`` or a path to tables saved by
+    ``RoutedSpmv.save`` / ``python -m tpcg.cli route`` -- the offline
+    preprocessing workflow.  Bypasses the in-line ``build_routing_spmv``
+    (minutes for ~10M nnz) entirely; the CSR arrays passed alongside are
+    ignored for the operator.  Returns ``(container, Pop)``: a real
+    ``DeviceRouted`` container for real solves, or a ``routed_pair``
+    planes operator for complex ones (routed kernels are float32, so
+    complex routed solves always run in f32 planes).
+    """
+    import os
+    import jax
+    from .ops.routing import RoutedSpmv
+    from .ops.route_spmv import DeviceRouted, routed_pair
+
+    R = (RoutedSpmv.load(os.fspath(routing))
+         if isinstance(routing, (str, os.PathLike)) else routing)
+    if R.n != size:
+        raise ValueError(
+            f"routing tables are for n={R.n}, matrix has n={size}")
+    interp = jax.devices()[0].platform == "cpu"
+    if is_complex or np.iscomplexobj(R.vals):
+        return None, routed_pair(R, interpret=interp)
+    return DeviceRouted(R, interpret=interp), None
+
+
 def _solve_planes(A, B, X0, n_iterations, Pop=None):
     """Two-plane float solve of a complex system (TPU backends here
     cannot execute complex64 programs; see tpcg/ops/cplx.py).  complex128
@@ -75,7 +103,7 @@ def _solve_planes(A, B, X0, n_iterations, Pop=None):
 
 def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
        n_rhs: int = 1, n_iterations: int = 10, is_complex=None,
-       record_history: bool = False):
+       record_history: bool = False, routing=None):
     """Solve ``A X = B`` with ``n_iterations`` of block CG.
 
     a_values/a_pointers/a_cols : CSR arrays (len nnz / size+1 / nnz).
@@ -83,6 +111,10 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
            (``v[i + r*size]``); ``x`` is the initial guess (zeros if None).
     is_complex : inferred from dtypes when None (the C API's explicit flag,
            ``clcg.h:5``, is accepted for parity).
+    routing : precomputed routing-network tables for unstructured
+           matrices -- a ``RoutedSpmv`` or a path to an ``.npz`` saved by
+           ``python -m tpcg.cli route`` -- used instead of rebuilding the
+           network in-line (minutes for ~10M nnz).
     Returns the solution with the same packing (and the per-RHS residual
     history when ``record_history``).
     """
@@ -98,25 +130,37 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
     if a_values.dtype in (np.complex128, np.float64):
         dtype = np.complex128 if is_complex else np.float64
 
-    A_sci = sp.csr_matrix((a_values.astype(dtype), np.asarray(a_cols),
-                           np.asarray(a_pointers)), shape=(size, size))
-    # banded (possibly after RCM reordering) -> gather-free DIA layout;
-    # residual histories are permutation-invariant, so reordering is
-    # transparent at this boundary.  On TPU, genuinely unstructured real
-    # matrices fall through to the routing-network SpMV instead of the
-    # slow ELL gather (complex ones are routed below via routed_pair).
     on_tpu = jax_default_backend() != "cpu"
-    A, perm = to_device_matrix(A_sci, reorder=True,
-                               route_fallback=on_tpu and not is_complex)
+    Pop = None
+    perm = None
+    if routing is not None:
+        A, Pop = _resolve_routing(routing, size, is_complex)
+        if is_complex:
+            dtype = np.complex64     # routed kernels are f32 planes
+    else:
+        A_sci = sp.csr_matrix((a_values.astype(dtype),
+                               np.asarray(a_cols),
+                               np.asarray(a_pointers)),
+                              shape=(size, size))
+        # banded (possibly after RCM reordering) -> gather-free DIA
+        # layout; residual histories are permutation-invariant, so
+        # reordering is transparent at this boundary.  On TPU, genuinely
+        # unstructured real matrices fall through to the routing-network
+        # SpMV instead of the slow ELL gather (complex ones are routed
+        # below via routed_pair).
+        A, perm = to_device_matrix(A_sci, reorder=True,
+                                   route_fallback=on_tpu
+                                   and not is_complex)
     B = np.asarray(b, dtype=dtype).reshape(n_rhs, size).T      # (n, nrhs)
     X0 = np.asarray(x, dtype=dtype).reshape(n_rhs, size).T \
         if x is not None else None
     if perm is not None:
         B = B[perm]
         X0 = X0[perm] if X0 is not None else None
-    if is_complex and on_tpu:
-        X, history = _solve_planes(A, B, X0, n_iterations,
-                                   Pop=_routed_planes_op(A, A_sci))
+    if is_complex and (on_tpu or Pop is not None):
+        if Pop is None:
+            Pop = _routed_planes_op(A, A_sci)
+        X, history = _solve_planes(A, B, X0, n_iterations, Pop=Pop)
     else:
         if X0 is not None:
             X0 = jnp.asarray(X0)
@@ -134,25 +178,32 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
     return out
 
 
-def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
+def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10,
+              record_history=False, routing=None):
     """Convenience wrapper: scipy matrix / device container in, same
     column-major packing semantics (and TPU complex-planes fallback) as
-    ``cg``."""
+    ``cg``.  ``routing`` accepts the same precomputed routing tables."""
     import scipy.sparse as sp
     import jax.numpy as jnp
     from jax import default_backend
 
     perm = None
     A_sci = None
+    Pop = None
     on_tpu = default_backend() != "cpu"
-    if sp.issparse(A):
+    n = A.shape[0]
+    if routing is not None:
+        is_cplx_in = (np.iscomplexobj(np.asarray(b))
+                      or np.issubdtype(np.dtype(A.dtype),
+                                       np.complexfloating))
+        A, Pop = _resolve_routing(routing, n, is_cplx_in)
+    elif sp.issparse(A):
         # same RCM / routing policy as ``cg`` (a shuffled banded matrix
         # must land on the gather-free DIA path through every entry
         # point; unstructured ones on the routing network, not ELL)
         A_sci = sp.csr_matrix(A)
         A, perm = to_device_matrix(A_sci, reorder=True,
                                    route_fallback=on_tpu)
-    n = A.shape[0]
     b = np.asarray(b)
     n_rhs = n_rhs or (b.size // n)
     B = b.reshape(n_rhs, n).T
@@ -161,14 +212,20 @@ def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10, record_history=False):
         B = B[perm]
         X0 = X0[perm] if X0 is not None else None
     # a complex matrix with a real RHS still needs the complex solve
-    is_complex = np.iscomplexobj(B) or np.issubdtype(A.dtype,
-                                                     np.complexfloating)
+    # (a routed complex operand has A None + Pop set)
+    is_complex = (np.iscomplexobj(B) or A is None
+                  or np.issubdtype(np.dtype(A.dtype), np.complexfloating))
     if is_complex and not np.iscomplexobj(B):
-        B = B.astype(np.result_type(B.dtype, A.dtype))
+        B = B.astype(np.complex64 if A is None else
+                     np.result_type(B.dtype, A.dtype))
         X0 = X0.astype(B.dtype) if X0 is not None else None
-    if is_complex and on_tpu:
-        X, history = _solve_planes(A, B, X0, n_iterations,
-                                   Pop=_routed_planes_op(A, A_sci))
+    if is_complex and (on_tpu or Pop is not None):
+        if Pop is None:
+            Pop = _routed_planes_op(A, A_sci)
+        if routing is not None:
+            B = B.astype(np.complex64)   # routed kernels are f32 planes
+            X0 = X0.astype(np.complex64) if X0 is not None else None
+        X, history = _solve_planes(A, B, X0, n_iterations, Pop=Pop)
     else:
         result = block_cg(A, jnp.asarray(B),
                           jnp.asarray(X0) if X0 is not None else None,

@@ -152,11 +152,19 @@ def run_route_cli(argv):
     except FileNotFoundError:
         print(f"Could not read matrix: {path}", file=sys.stderr)
         return 1
+    except (ValueError, OSError) as ex:     # malformed .mtx and friends
+        print(f"Could not parse matrix {path}: {ex}", file=sys.stderr)
+        return 1
     print(f"loaded {path}: n={A.shape[0]} nnz={A.nnz}")
     t0 = time.time()
     R = build_routing_spmv(A)
     dt = time.time() - t0
-    R.save(out)
+    try:
+        R.save(out)
+    except OSError as ex:
+        print(f"Could not write routing tables to {out}: {ex}",
+              file=sys.stderr)
+        return 1
     print(f"routing built in {dt:.1f}s: {R.n_layers} layers, m={R.m}, "
           f"masks {R.masks.nbytes / 1e6:.0f} MB -> {out}")
     return 0

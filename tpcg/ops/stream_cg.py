@@ -113,6 +113,22 @@ def _pick_block_rows(nv: int) -> int:
     return nv
 
 
+def _check_block_rows(nv: int, Bv: int, P: int, where: str) -> None:
+    """Public-entry-point guard: a viable row-block decomposition needs
+    Bv | nv, at least two blocks, and Bv >= the stencil pad P (the halo
+    side-output slices read the first/last P rows of a block -- a smaller
+    block fails at trace time with an opaque shape mismatch, e.g. any
+    prime nv where ``_pick_block_rows`` degenerates to Bv=1).  The
+    planner's ``_streamable`` pre-screens this; direct kernel callers get
+    the clear error here instead."""
+    if nv % Bv != 0 or nv // Bv < 2 or Bv < P:
+        raise ValueError(
+            f"{where}: grid height {nv} has no viable row-block "
+            f"decomposition (block_rows={Bv}, stencil pad={P}; need "
+            f"nv % Bv == 0, nv // Bv >= 2 and Bv >= P) -- pad the grid "
+            "or use the XLA path (plan_stencil_cg picks automatically)")
+
+
 def _boundary(v, G, Bv, P, nh):
     """(2, nv, nh) -> (2, G, 2P, nh): each block's own first/last P rows
     (the layout the kernels emit as side outputs)."""
@@ -791,7 +807,7 @@ def stream_cg_coef_planes_batched(offsets, grid, coefp, bp, x0p,
     nb = bp.shape[1]
     P = _pad_for(offsets)
     Bv = block_rows or _pick_block_rows(nv)
-    assert nv % Bv == 0, (nv, Bv)
+    _check_block_rows(nv, Bv, P, "stream_cg_coef_planes_batched")
     G = nv // Bv
     k1 = _build_k1_coef_batched(offsets, grid, nb, Bv,
                                 interpret=interpret)
@@ -879,7 +895,7 @@ def stream_cg_coef_planes(offsets, grid, coefp, bp, x0p,
     nv, nh = grid
     P = _pad_for(offsets)
     Bv = block_rows or _pick_block_rows(nv)
-    assert nv % Bv == 0, (nv, Bv)
+    _check_block_rows(nv, Bv, P, "stream_cg_coef_planes")
     G = nv // Bv
     k1v = _build_k1_coef(offsets, grid, Bv, interpret=interpret)
     k2 = _make_k2(nv, nh, G, Bv, P, interpret=interpret)
@@ -919,7 +935,7 @@ def stream_cg_const_planes(offsets, grid, taps, strips2, bp, x0p,
     nv, nh = grid
     P = _pad_for(offsets)
     Bv = block_rows or _pick_block_rows(nv)
-    assert nv % Bv == 0, (nv, Bv)
+    _check_block_rows(nv, Bv, P, "stream_cg_const_planes")
     G = nv // Bv
 
     k1, k2 = _build_kernels(offsets, grid, taps, Bv, interpret=interpret)

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_cg import _pad_for
-from .stream_cg import _pick_block_rows
+from .stream_cg import _check_block_rows, _pick_block_rows
 
 _F = jnp.float32
 
@@ -400,7 +400,7 @@ def stream_cg_real_planes(offsets, grid, taps, strips2, bp, x0p,
     nv, nh = grid
     P = _pad_for(offsets)
     Bv = block_rows or _pick_block_rows(nv)
-    assert nv % Bv == 0, (nv, Bv)
+    _check_block_rows(nv, Bv, P, "stream_cg_real_planes")
     G = nv // Bv
     k1 = _build_k1_real_const(offsets, grid, taps, Bv, interpret)
     k2 = _make_k2_real(nv, nh, G, Bv, P, interpret)
@@ -415,7 +415,7 @@ def stream_cg_real_coef_planes(offsets, grid, coefp, bp, x0p,
     nv, nh = grid
     P = _pad_for(offsets)
     Bv = block_rows or _pick_block_rows(nv)
-    assert nv % Bv == 0, (nv, Bv)
+    _check_block_rows(nv, Bv, P, "stream_cg_real_coef_planes")
     G = nv // Bv
     k1 = _build_k1_real_coef(offsets, grid, Bv, interpret)
     k2 = _make_k2_real(nv, nh, G, Bv, P, interpret)

@@ -126,7 +126,12 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         ``matvec(operands, x)`` and ``M(operands, z)`` and the arrays
         flow through the jitted Arnoldi programs as arguments instead of
         closure constants (which get re-embedded into the HLO on every
-        fresh solve).
+        fresh solve).  Callers doing REPEATED solves should always pass
+        ``operands``: with plain closures every solve re-traces to a
+        different program (persistent-compile-cache misses; measured
+        104 s vs 4 s cold chunked solves on the tunneled TPU) and large
+        closure-captured arrays can exceed the remote-compile request
+        limit outright.
     tol : relative to ||r0|| (``:2938-2939``).
     """
     if norm is None:
@@ -154,6 +159,8 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         mv2 = matvec
         M2 = M if M is not None else (lambda ops, z: z)
 
+    import jax
+
     b = jnp.asarray(b)
     shape, dtype = b.shape, b.dtype
     if x0 is None:
@@ -161,7 +168,18 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         r = b
     else:
         x = jnp.asarray(x0, dtype=dtype)
-        r = b - mv2(_ops, x)
+        # the initial residual matvec runs as ONE device program like the
+        # Arnoldi tail (eager dispatch is the documented slow path on the
+        # tunneled TPU); host-side operators fall back to eager.
+        if jit_tail:
+            try:
+                r = jax.jit(lambda ops, bb, xx: bb - mv2(ops, xx))(
+                    _ops, b, x)
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                r = b - mv2(_ops, x)
+        else:
+            r = b - mv2(_ops, x)
     norm_b = float(norm(r))
     residual_norms = [norm_b]
     if norm_b == 0.0:
@@ -189,8 +207,6 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
     if lincomb_dev is None:
         lincomb_dev = (_lincomb_dev_planes if planes_mode
                        else _native_lincomb)
-
-    import jax
 
     def arnoldi_tail(ops, VV, MV, v, kk, active):
         """Everything after the preconditioner, fused into one device

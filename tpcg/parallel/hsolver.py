@@ -90,7 +90,12 @@ class Counter:
 
 @dataclasses.dataclass
 class HSolverResult:
-    x: jnp.ndarray                  # (M, M, S, S) solution
+    # (M, M, S, S) complex solution.  NB: in planes mode (the TPU default)
+    # this is a HOST numpy array, not a device array -- the complex
+    # reassembly happens host-side because a complex64 device_put
+    # permanently wedges the tunneled TPU backend.  Callers needing
+    # device residency must re-upload as planes themselves.
+    x: object
     iterations: int
     residual_norms: List[float]
     true_residual: float
