@@ -37,16 +37,35 @@ def main():
                     .astype(np.float32))
     x0 = jnp.zeros_like(b)
 
-    @jax.jit
-    def solve(coef3, b, x0):
-        x, hist = fused_cg_stencil(A.offsets, coef3, b, x0, iters)
-        return hist[-1]
+    # Timing protocol: R independent whole solves run back-to-back in ONE
+    # device program, one scalar readback at the end, per-solve time =
+    # total / R.  Rationale: block_until_ready does not fence on this
+    # tunneled backend, so the only sync is a device->host readback --
+    # which costs a measured ~27 ms round-trip through the tunnel (an
+    # artifact of this connection, not of the chip: an empty 5000-trip
+    # kernel loop times identically to zero work plus the round-trip;
+    # benchmarks/exp_floor.py).  A single 5000-iteration solve is ~15 ms
+    # of device time, so timing one solve per readback would report the
+    # tunnel, not the solver.  The reference's protocol times kernels
+    # with device-resident buffers (report section V); amortizing the
+    # fixed transfer across R solves matches it.  Each solve is chained
+    # through a ~1e-33 perturbation of the next initial guess so XLA
+    # cannot CSE the repeats into one.
+    R = 8
 
-    # warmup: compile + make buffers resident.  NB: on this backend
-    # block_until_ready does not reliably fence; a device->host readback
-    # of the (tiny) final residual is the synchronisation point, so each
-    # timed rep includes one transfer round-trip.
-    rn = np.asarray(solve(coef3, b, x0))
+    @jax.jit
+    def solve_many(coef3, b, x0):
+        def body(x0c, _):
+            x, hist = fused_cg_stencil(A.offsets, coef3, b, x0c, iters)
+            last = hist[-1]
+            # data-dependent (but numerically negligible) chaining
+            x0n = x0c + (1e-30 * last[0]).astype(x0c.dtype)
+            return x0n, last
+        _, lasts = jax.lax.scan(body, x0, None, length=R)
+        return lasts
+
+    # warmup: compile + make buffers resident
+    rn = np.asarray(solve_many(coef3, b, x0))
     assert np.all(np.isfinite(rn)), rn
 
     # Parity gate: the compiled fused kernel's residual history must match
@@ -80,13 +99,13 @@ def main():
             f"(max rel {rel.max():.3e} over {gate_iters} iterations); "
             "refusing to report GFLOPS")
 
-    reps = 5
+    reps = 4
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(solve(coef3, b, x0))
+        np.asarray(solve_many(coef3, b, x0))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times) / R
 
     flops_per_iter = 8 * nnz + 2 * 8 * n + 3 * 8 * n
     gflops = iters * flops_per_iter / dt / 1e9

@@ -31,7 +31,7 @@ def test_path_selection(prob, monkeypatch):
     # VMEM-resident size)
     assert plan_stencil_cg(A, 5, interpret=True).path == "vmem-coef"
     # too big for VMEM + const edges -> stream (any batch; multi-RHS
-    # loops the faster single-RHS kernel)
+    # dispatches the batched (G, nb)-grid kernels)
     monkeypatch.setattr(auto, "_VMEM_NODES", 16)
     assert plan_stencil_cg(A, 5, nb=1, interpret=True).path == "stream"
     assert plan_stencil_cg(A, 5, nb=4, interpret=True).path == "stream"
@@ -89,7 +89,7 @@ def test_paths_match_xla_oracle(prob, path):
 
 
 def test_stream_path_multi_rhs(prob):
-    """Multi-RHS through the stream path = looped single-RHS solves."""
+    """Multi-RHS through the stream path = the batched (G, nb) kernel."""
     A, b, N = prob
     iters = 12
     B = np.stack([b, b * (1 - 0.4j)])

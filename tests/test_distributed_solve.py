@@ -373,3 +373,23 @@ def test_hsolver_fgmres_chunk_config():
     assert r1.iterations == r4.iterations
     np.testing.assert_allclose(np.asarray(r4.x), np.asarray(r1.x),
                                rtol=1e-9, atol=1e-11)
+    # adaptive last-chunk split: no preconditioner work past convergence
+    # on a converging solve (VERDICT r2 item 9)
+    assert r1.wasted_prec_applies == 0
+    assert r4.wasted_prec_applies == 0
+
+
+def test_fgmres_chunked_adaptive_no_waste():
+    """The chunked driver drops to single steps near convergence, so
+    converging solves waste zero Arnoldi/preconditioner applications
+    even when the iteration count is not a chunk multiple."""
+    decomp, S, b = setup_problem(M=2, W=6, OL=1)
+    coef = jnp.asarray(decomp.crop_stencil(np.asarray(S.coef)))
+    bg = jnp.asarray(decomp.crop_grid(b))
+    mv = lambda x: decomp.ax_op(coef, S.offsets, x)
+    for chunk in (4, 8):
+        for tol in (1e-2, 1e-3):
+            r = fgmres(mv, bg, tol=tol, krylsize=40, norm=decomp.norm,
+                       wdot=decomp.wdot, chunk=chunk)
+            assert r.converged, (chunk, tol, r.residual_norms[-1])
+            assert r.wasted_applies == 0, (chunk, tol, r.wasted_applies)

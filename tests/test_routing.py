@@ -137,3 +137,36 @@ def test_routed_small_matrix_pads_to_lane_width():
     import jax.numpy as jnp
     y = np.asarray(D.matvec(jnp.asarray(x)))
     np.testing.assert_allclose(y, A @ x, rtol=1e-5, atol=1e-6)
+
+
+def test_pack_unpack_roundtrip_and_save_format(tmp_path):
+    """1-bit mask packing: directions are static (XOR partner side from
+    bit s of the position), so pack->unpack must reproduce the signed
+    masks exactly, and save/load must round-trip through the packed
+    on-disk format (~8x smaller than the int8 switch array)."""
+    import scipy.sparse as sp
+    from tpcg.ops.route_spmv import pack_masks, unpack_masks
+    from tpcg.ops.routing import RoutedSpmv, benes_strides, \
+        build_routing_spmv
+
+    rng = np.random.default_rng(3)
+    n, per_row = 100, 5
+    rows = np.repeat(np.arange(n), per_row)
+    cols = rng.integers(0, n, n * per_row)
+    A = sp.csr_matrix((rng.standard_normal(n * per_row), (rows, cols)),
+                      shape=(n, n))
+    R = build_routing_spmv(A)
+    packed = pack_masks(R.masks)
+    masks2 = unpack_masks(packed, benes_strides(R.m))
+    np.testing.assert_array_equal(masks2, R.masks)
+
+    path = str(tmp_path / "r.npz")
+    R.save(path)
+    z = np.load(path)
+    assert "packed" in z and "masks" not in z
+    R2 = RoutedSpmv.load(path)
+    np.testing.assert_array_equal(R2.masks, R.masks)
+    x = rng.standard_normal(n)
+    # vals are stored float32: compare at f32 precision
+    np.testing.assert_allclose(R2.matvec_numpy(x), A @ x, rtol=1e-4,
+                               atol=1e-5 * np.abs(A @ x).max())

@@ -128,6 +128,93 @@ def test_stream_coef_batched_matches_oracle():
     assert rel.max() < 5e-3, rel.max()
 
 
+def test_stream_const_batched_matches_oracle():
+    """The multi-RHS constant-tap streaming kernel (one program per
+    iteration for the whole batch) against the XLA oracle, including a
+    nonzero initial guess."""
+    from tpcg.ops.stream_cg import (prepare_stream,
+                                    stream_cg_const_planes_batched)
+    N, nb, iters, k = 64, 4, 20, 12.0
+    A = helm_fe(N, k, eps=k)
+    B = np.stack([plane_wave_rhs(N, k) * (1 + 0.3j * r)
+                  for r in range(nb)])
+    rng = np.random.default_rng(7)
+    X0 = 0.1 * (rng.standard_normal(B.shape)
+                + 1j * rng.standard_normal(B.shape))
+    taps, strips2 = prepare_stream(A)
+    bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
+    x0p = jnp.asarray(np.stack([X0.real, X0.imag]).astype(np.float32))
+    x, hist = stream_cg_const_planes_batched(
+        A.offsets, A.grid, taps, strips2, bp, x0p, iters, interpret=True)
+    P = make_pair_operator(A, dtype=jnp.float32)
+    b2 = jnp.asarray(np.stack([B.real, B.imag]).reshape(2, nb, N * N)
+                     .transpose(0, 2, 1).astype(np.float32))
+    x02 = jnp.asarray(np.stack([X0.real, X0.imag]).reshape(2, nb, N * N)
+                      .transpose(0, 2, 1).astype(np.float32))
+    res = block_cg_planes(P, b2, x0=x02, n_iterations=iters)
+    hs = np.asarray(res.residual_history)
+    rel = np.abs(np.asarray(hist) - hs) / (np.abs(hs) + 1e-30)
+    assert rel.max() < 5e-3, rel.max()
+    # the batched kernel is the SAME arithmetic as the single-RHS
+    # streaming kernel, per RHS -- pin bit-level equality
+    for r in range(nb):
+        xs, hs1 = stream_cg_const_planes(
+            A.offsets, A.grid, taps, strips2, bp[:, r], x0p[:, r],
+            iters, interpret=True)
+        np.testing.assert_array_equal(np.asarray(x)[:, r],
+                                      np.asarray(xs))
+        np.testing.assert_array_equal(np.asarray(hist)[:, r],
+                                      np.asarray(hs1))
+
+
+@pytest.mark.parametrize("keep_r", [True, False])
+def test_stream_v3_const_bit_matches_v2(keep_r):
+    """The merged one-call-per-iteration kernel (q/dnew -- and r when
+    keep_r -- resident in VMEM scratch across the two phases) performs
+    the IDENTICAL arithmetic to the v2 two-kernel iteration; solutions
+    and histories must match bit-for-bit."""
+    from tpcg.ops.stream_cg_v3 import stream_cg_v3_const_planes
+    N, iters, k = 64, 15, 9.0
+    A = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    rng = np.random.default_rng(3)
+    x0 = 0.1 * (rng.standard_normal((N, N))
+                + 1j * rng.standard_normal((N, N)))
+    taps, strips2 = prepare_stream(A)
+    bp = jnp.asarray(np.stack([b.real, b.imag]).astype(np.float32))
+    x0p = jnp.asarray(np.stack([x0.real, x0.imag]).astype(np.float32))
+    x2, h2 = stream_cg_const_planes(A.offsets, A.grid, taps, strips2,
+                                    bp, x0p, iters, interpret=True)
+    x3, h3 = stream_cg_v3_const_planes(A.offsets, A.grid, taps, strips2,
+                                       bp, x0p, iters, keep_r=keep_r,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(x3), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(h3), np.asarray(h2))
+
+
+@pytest.mark.parametrize("keep_r", [True, False])
+def test_stream_v3_coef_bit_matches_v2(keep_r):
+    from tpcg.ops.stream_cg import (prepare_stream_coef,
+                                    stream_cg_coef_planes)
+    from tpcg.ops.stream_cg_v3 import stream_cg_v3_coef_planes
+    from tpcg.problems import helm_fe_var
+    N, iters, k = 64, 15, 12.0
+    rng = np.random.default_rng(4)
+    C = 1.0 + 0.5 * rng.random((N - 1, N - 1))
+    A = helm_fe_var(N, k, C, rho=0.1)
+    b = plane_wave_rhs(N, k)
+    coefp = prepare_stream_coef(A)
+    bp = jnp.asarray(np.stack([b.real, b.imag]).astype(np.float32))
+    x0p = jnp.zeros_like(bp)
+    x2, h2 = stream_cg_coef_planes(A.offsets, A.grid, coefp, bp, x0p,
+                                   iters, interpret=True)
+    x3, h3 = stream_cg_v3_coef_planes(A.offsets, A.grid, coefp, bp, x0p,
+                                      iters, keep_r=keep_r,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(x3), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(h3), np.asarray(h2))
+
+
 def test_prepare_stream_rejects_nonconst_edges():
     from tpcg.problems import helm_fe_var
     N = 32

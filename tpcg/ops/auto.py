@@ -13,11 +13,15 @@ different regime on TPU:
                compile-time scalars (``fused_cg_const``) -- available
                explicitly for constant-interior stencils.
   stream     : HBM-streaming two-kernel iteration (``stream_cg``) --
-               constant-coefficient grids beyond VMEM (N >= 1024),
-               single RHS.
+               constant-coefficient grids beyond VMEM (N >= 1024).
+               Multi-RHS runs the (G, nb)-grid batched kernels (one
+               device program for the whole batch).
   stream-coef: same two-kernel iteration with per-node coefficient
                planes streamed alongside the state -- variable
-               coefficients beyond VMEM, single RHS.
+               coefficients beyond VMEM.  Multi-RHS batches share one
+               coefficient fetch per row block (per-RHS traffic
+               10 + 2*noff/nb planes -- the reference's block-CG
+               amortization, report Fig. 6).
   stream-real: single-plane streaming iteration for REAL stencils
                (``stream_cg_real``).  Only picked for very large grids
                (>= _REAL_STREAM_NODES): the XLA shift-multiply path is
@@ -46,6 +50,10 @@ _VMEM_NODES = 512 * 512
 # exp_realstream.py: XLA 527 GFLOPS at N=1024, stream-real-const wins
 # 235 vs 179 at N=2048)
 _REAL_STREAM_NODES = 2048 * 2048
+# grids at/above this take the merged v3 streaming iteration on the
+# const path (benchmarks/exp_stream3.py: v3 wins at N=2048, loses at
+# N=1024 where the VMEM scratch staging dominates)
+_V3_NODES = 2048 * 2048
 
 
 def _norm_b(b, nv, nh):
@@ -84,9 +92,9 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
                     interpret: bool = False) -> StencilCGPlan:
     """Pick and prepare the fastest CG path for ``stencil``.
 
-    nb : planned RHS batch size.  Currently informational only: every
-         path handles any batch (the stream paths loop the faster
-         single-RHS kernel per RHS; see the routing notes below).
+    nb : planned RHS batch size.  Every path handles any batch at solve
+         time; the stream paths dispatch batched (G, nb)-grid kernels
+         for nb >= 2 (chunked at 16 RHS per program).
     path : force a specific path (mainly for tests/benchmarks).
     interpret : run Pallas kernels in interpret mode (CPU testing).
     """
@@ -209,46 +217,85 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
         return solve
 
     if path in ("stream", "stream-coef"):
+        # The (G, nb)-grid batched kernels fetch the coefficient planes
+        # (resp. strips) once per row block for the whole batch, with
+        # single-RHS-sized pipeline buffers -- per-RHS HBM traffic drops
+        # from 10 + 2*noff to 10 + 2*noff/nb planes on the coef path
+        # (the reference's block-CG amortization, report Fig. 6).  Cap
+        # the batch per program at the SMEM scalar width; larger batches
+        # run in chunks.
+        _BATCH_CAP = 16
         if path == "stream":
-            from .stream_cg import prepare_stream, stream_cg_const_planes
+            from .stream_cg import (prepare_stream,
+                                    stream_cg_const_planes,
+                                    stream_cg_const_planes_batched)
             taps, strips2 = (prepared if prepared is not None
                              else prepare_stream(stencil))
-            fn = jax.jit(lambda s2, bp, x0p: stream_cg_const_planes(
-                stencil.offsets, stencil.grid, taps, s2, bp, x0p,
-                n_iterations, interpret=interpret))
+            if nv * nh >= _V3_NODES:
+                # merged one-kernel iteration (q/dnew VMEM-resident):
+                # measured 853 -> 769 us/it at N=2048 (bit-exact); at
+                # N<=1024 the two-kernel v2 pipeline is faster.
+                from .stream_cg_v3 import stream_cg_v3_const_planes
+                fn = jax.jit(
+                    lambda s2, bp, x0p: stream_cg_v3_const_planes(
+                        stencil.offsets, stencil.grid, taps, s2, bp,
+                        x0p, n_iterations, keep_r=False,
+                        interpret=interpret))
+            else:
+                fn = jax.jit(lambda s2, bp, x0p: stream_cg_const_planes(
+                    stencil.offsets, stencil.grid, taps, s2, bp, x0p,
+                    n_iterations, interpret=interpret))
+            fnb = jax.jit(lambda s2, bp, x0p:
+                          stream_cg_const_planes_batched(
+                              stencil.offsets, stencil.grid, taps, s2,
+                              bp, x0p, n_iterations,
+                              interpret=interpret))
         else:
             from .stream_cg import (prepare_stream_coef,
-                                    stream_cg_coef_planes)
+                                    stream_cg_coef_planes,
+                                    stream_cg_coef_planes_batched)
             strips2 = prepare_stream_coef(stencil)
             fn = jax.jit(lambda cp, bp, x0p: stream_cg_coef_planes(
                 stencil.offsets, stencil.grid, cp, bp, x0p,
                 n_iterations, interpret=interpret))
+            fnb = jax.jit(lambda cp, bp, x0p:
+                          stream_cg_coef_planes_batched(
+                              stencil.offsets, stencil.grid, cp, bp,
+                              x0p, n_iterations, interpret=interpret))
 
         def solve(b, x0):
-            # Multi-RHS runs as sequential single-RHS solves: per-RHS
-            # alpha/beta are independent anyway (clcg.c:317-333), and on
-            # v5e the single-RHS streaming kernel outruns the batched
-            # variant per RHS (191 vs ~240 us/it at N=1024 -- the larger
-            # working set defeats the block-pipeline; see
-            # stream_cg_coef_planes_batched for the measured tradeoff).
             B, squeeze = _norm_b(b, nv, nh)
             X0 = None if x0 is None else _norm_b(x0, nv, nh)[0]
+            nbv = B.shape[0]
+            if nbv == 1:
+                bp = jnp.asarray(np.stack([B[0].real, B[0].imag])
+                                 .astype(np.float32))
+                x0p = (jnp.zeros_like(bp) if X0 is None else
+                       jnp.asarray(np.stack([X0[0].real, X0[0].imag])
+                                   .astype(np.float32)))
+                x, hist = fn(strips2, bp, x0p)
+                x = np.asarray(x)
+                xc = (x[0] + 1j * x[1]).astype(np.complex64)
+                if squeeze:
+                    return xc, np.asarray(hist)
+                return xc[None], np.asarray(hist)[:, None]
             xs, hs = [], []
-            for r in range(B.shape[0]):
-                bp = jnp.asarray(np.stack([B[r].real, B[r].imag])
+            for lo in range(0, nbv, _BATCH_CAP):
+                Bc = B[lo:lo + _BATCH_CAP]
+                bp = jnp.asarray(np.stack([Bc.real, Bc.imag])
                                  .astype(np.float32))
                 if X0 is None:
                     x0p = jnp.zeros_like(bp)
                 else:
-                    x0p = jnp.asarray(np.stack([X0[r].real, X0[r].imag])
+                    X0c = X0[lo:lo + _BATCH_CAP]
+                    x0p = jnp.asarray(np.stack([X0c.real, X0c.imag])
                                       .astype(np.float32))
-                x, hist = fn(strips2, bp, x0p)
+                x, hist = fnb(strips2, bp, x0p)
                 x = np.asarray(x)
                 xs.append((x[0] + 1j * x[1]).astype(np.complex64))
                 hs.append(np.asarray(hist))
-            if squeeze:
-                return xs[0], hs[0]
-            return np.stack(xs), np.stack(hs, axis=1)
+            return (np.concatenate(xs),
+                    np.concatenate(hs, axis=1))
         return solve
 
     if path == "stream-real":

@@ -95,11 +95,14 @@ def fused_cg_stencil_mxu(offsets: Tuple[Tuple[int, int], ...],
                          grid: Tuple[int, int], hmats: jnp.ndarray,
                          strips3, b: jnp.ndarray, x0: jnp.ndarray,
                          n_iterations: int, interpret: bool = False,
-                         packed: bool = None):
+                         packed: bool = None, precision: str = "high"):
     """MXU twin of :func:`tpcg.ops.fused_cg.fused_cg_stencil`.
 
     hmats/strips3 : from :func:`prepare_mxu` (pass as jit ARGUMENTS).
     b, x0 : (2, B, Nv, Nh) float32 planes.
+    precision : matmul pass count -- "default" (1-pass bf16, fastest,
+        too lossy for long CG), "high" (3-pass bf16x3, ~f32 accurate),
+        "highest" (6-pass).
     Returns (x, residual_history) exactly like ``fused_cg_stencil``.
     """
     nv, nh = grid
@@ -115,7 +118,9 @@ def fused_cg_stencil_mxu(offsets: Tuple[Tuple[int, int], ...],
     ndm = hmats.shape[1]
     dms = tuple(sorted({dm for dm, dj in offsets}))
     assert ndm == len(dms)
-    prec = lax.Precision.HIGHEST
+    prec = {"default": lax.Precision.DEFAULT,
+            "high": lax.Precision.HIGH,
+            "highest": lax.Precision.HIGHEST}[precision]
 
     def apply_stencil(h_ref, sb_ref, st_ref, dr_pad, di_pad, qr_s, qi_s):
         """q = A d via banded lane matmuls + boundary-row strips; result

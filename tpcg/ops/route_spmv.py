@@ -11,10 +11,11 @@ Key property used: XOR partners never cross the lane<->sublane boundary,
 so stage stride s < 128 is a pure cyclic lane roll and s >= 128 a pure
 cyclic sublane roll -- each stage is two ``pltpu.roll`` + one select.
 
-Masks are bit-packed 16 stages x 2 bits per int32 word (int8 arrays
+Masks are bit-packed 32 stages x 1 bit per int32 word (int8 arrays
 crash this image's Mosaic compiler -- benchmarks/exp_bisect.py -- and
-unpacked int32 masks would quadruple the HBM stream).  Codes: 0 keep,
-1 take the +s roll, 2 take the -s roll.
+unpacked int32 masks would blow up the HBM stream).  Each bit says
+"exchange with the XOR partner i^s"; the +s/-s roll choice is static
+per position (bit s of the index), so no direction code is stored.
 
 Replaces the gather SpMV for genuinely unstructured matrices (the
 reference's vector-CSR ``kernel/real/spmv.cl:5-50``); banded or
@@ -33,33 +34,60 @@ from .routing import RoutedSpmv, benes_strides
 C = 128          # lane width
 
 
-STAGES_PER_WORD = 16     # 2 bits per stage in an int32
+STAGES_PER_WORD = 32     # 1 bit per stage in an int32
 
 
 def pack_masks(masks: np.ndarray) -> np.ndarray:
-    """(L, S, m) int8 {-1,0,1} -> (L, ceil(S/16), m) int32 packed codes
-    (0 keep, 1 up(+s), 2 dn(-s))."""
+    """(L, S, m) int8 {-1,0,1} -> (L, ceil(S/32), m) int32 exchange bits.
+
+    The exchange DIRECTION never needs storing: stage stride s pairs XOR
+    partners i and i^s, and which of the +s/-s rolls holds the partner
+    follows from bit s of the position (static at compile time).  Only
+    the exchange FLAG is data -- 1 bit per stage -- which halves the
+    packed mask words vs the former 2-bit direction codes (3 -> 2 int32
+    per position at m = 2^17: the m_t1-class device operand drops from
+    ~517 MB to ~388 MB)."""
     L, S, m = masks.shape
     W = -(-S // STAGES_PER_WORD)
-    code = np.where(masks > 0, 1, np.where(masks < 0, 2, 0)) \
-        .astype(np.uint32)
+    ex = (masks != 0).astype(np.uint32)
     out = np.zeros((L, W, m), dtype=np.uint32)
     for k in range(S):
-        out[:, k // STAGES_PER_WORD] |= code[:, k] << (
-            2 * (k % STAGES_PER_WORD))
+        out[:, k // STAGES_PER_WORD] |= ex[:, k] << (k % STAGES_PER_WORD)
     return out.astype(np.int32)
 
 
-def _stage(t, code, s, rows):
-    """One butterfly stage on the (rows, 128) grid; code in {0,1,2}."""
+def unpack_masks(packed: np.ndarray, strides) -> np.ndarray:
+    """Inverse of :func:`pack_masks`: exchange bits -> signed int8 masks
+    (+1 take the +s roll at the low partner, -1 at the high one)."""
+    packed = np.asarray(packed).astype(np.uint32)
+    L, W, m = packed.shape
+    S = len(strides)
+    pos = np.arange(m)
+    masks = np.zeros((L, S, m), dtype=np.int8)
+    for k, s in enumerate(strides):
+        bit = (packed[:, k // STAGES_PER_WORD]
+               >> (k % STAGES_PER_WORD)) & 1
+        sign = np.where((pos & s) == 0, 1, -1).astype(np.int8)
+        masks[:, k] = bit.astype(np.int8) * sign
+    return masks
+
+
+def _stage(t, ex, s, rows):
+    """One butterfly stage on the (rows, 128) grid; ex = 1 where the
+    position exchanges with its XOR partner i^s (direction static)."""
+    from jax import lax
     if s < C:
-        up = pltpu.roll(t, C - s, 1)         # up[j] = t[j + s (mod 128)]
+        up = pltpu.roll(t, C - s, 1)         # up[j] = t[(j + s) mod 128]
         dn = pltpu.roll(t, s, 1)             # dn[j] = t[j - s]
+        lane = lax.broadcasted_iota(jnp.int32, (rows, C), 1)
+        partner = jnp.where((lane & s) == 0, up, dn)
     else:
         sr = s // C
         up = pltpu.roll(t, rows - sr, 0)
         dn = pltpu.roll(t, sr, 0)
-    return jnp.where(code == 1, up, jnp.where(code == 2, dn, t))
+        row = lax.broadcasted_iota(jnp.int32, (rows, C), 0)
+        partner = jnp.where((row & sr) == 0, up, dn)
+    return jnp.where(ex == 1, partner, t)
 
 
 def routed_matvec(routed: "DeviceRouted", x: jnp.ndarray,
@@ -80,9 +108,9 @@ def routed_matvec(routed: "DeviceRouted", x: jnp.ndarray,
         t = x_ref[...]
         for k, s in enumerate(strides):
             word = m_ref[0, k // STAGES_PER_WORD]
-            code = jax.lax.shift_right_logical(
-                word, jnp.int32(2 * (k % STAGES_PER_WORD))) & 3
-            t = _stage(t, code, s, rows)
+            ex = jax.lax.shift_right_logical(
+                word, jnp.int32(k % STAGES_PER_WORD)) & 1
+            t = _stage(t, ex, s, rows)
         y_ref[...] = y_ref[...] + v_ref[0] * t
 
     xg = x.reshape(rows, C)

@@ -265,14 +265,21 @@ class RoutedSpmv:
         """Persist the preprocessed tables (production workflow: build
         once offline -- ``python -m tpcg.cli route`` -- and load at
         serving time; the build is minutes for ~10M nnz, the load is a
-        file read)."""
-        np.savez_compressed(path, masks=self.masks, vals=self.vals,
-                            n=self.n)
+        file read).  Masks are stored in the 1-bit packed device layout
+        (~8x smaller on disk than the int8 switch array)."""
+        from .route_spmv import pack_masks
+        np.savez_compressed(path, packed=pack_masks(self.masks),
+                            vals=self.vals, n=self.n)
 
     @classmethod
     def load(cls, path: str) -> "RoutedSpmv":
         z = np.load(path)
-        return cls(masks=z["masks"], vals=z["vals"], n=int(z["n"]))
+        if "masks" in z:                     # legacy int8 format
+            return cls(masks=z["masks"], vals=z["vals"], n=int(z["n"]))
+        from .route_spmv import unpack_masks
+        vals = z["vals"]
+        masks = unpack_masks(z["packed"], benes_strides(vals.shape[1]))
+        return cls(masks=masks, vals=vals, n=int(z["n"]))
 
     def matvec_numpy(self, x: np.ndarray) -> np.ndarray:
         """Host simulation (tests)."""

@@ -568,19 +568,47 @@ def _build_k1_coef(offsets, grid, Bv, interpret=False):
     return k1v
 
 
-def _build_k1_coef_batched(offsets, grid, nb, Bv, interpret=False):
-    """Batched (nb-RHS) variable-coefficient K1.
+def _batched_specs(nb, Bv, P, nh, noff, G):
+    """BlockSpecs shared by the batched K1/K2 kernels: 2-D grid
+    (row-block i OUTER, RHS b INNER).  State/boundary blocks select one
+    (block, RHS) pane each step, so the pipeline working set stays
+    single-RHS sized; the coefficient/strip specs depend only on i, so
+    Mosaic keeps them resident across the nb inner steps -- one matrix
+    fetch per row block amortized over the whole batch (the reference's
+    N_RHS block trick, ``kernel/complex/spmv.cl:25-33`` / report Fig. 6).
+    """
+    blk = pl.BlockSpec((2, 1, Bv, nh), lambda i, b: (0, b, i, 0))
+    cblk = pl.BlockSpec((2, noff, Bv, nh), lambda i, b: (0, 0, i, 0))
+    sblk = pl.BlockSpec((2, 1, 1, 2 * P, nh),
+                        lambda i, b: (0, b, i, 0, 0))
+    sblk_m1 = pl.BlockSpec(
+        (2, 1, 1, 2 * P, nh),
+        lambda i, b: (0, b, jnp.maximum(i - 1, 0), 0, 0))
+    sblk_p1 = pl.BlockSpec(
+        (2, 1, 1, 2 * P, nh),
+        lambda i, b: (0, b, jnp.minimum(i + 1, G - 1), 0, 0))
+    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    The coefficient planes are read ONCE per block and shared by all
-    nb right-hand sides -- the whole point of block mode here: with the
-    state at 10 planes/RHS and the coefficients at 2*noff planes total,
-    per-RHS HBM traffic drops from 10 + 2*noff to 10 + 2*noff/nb
-    (the reference's block trick amortizes kernel launches + matrix
-    reads the same way, report section V / Fig. 6).
+    def smem_out(m):
+        return pl.BlockSpec((m, nb), lambda i, b: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    return blk, cblk, sblk, sblk_m1, sblk_p1, smem_in, smem_out
+
+
+def _build_k1_coef_batched(offsets, grid, nb, Bv, interpret=False):
+    """Batched (nb-RHS) variable-coefficient K1 on a (G, nb) grid.
+
+    The coefficient planes are fetched ONCE per row block and shared by
+    all nb right-hand sides (see :func:`_batched_specs`): with the state
+    at 10 planes/RHS and the coefficients at 2*noff planes total,
+    per-RHS HBM traffic drops from 10 + 2*noff to 10 + 2*noff/nb.
+    (The round-2 formulation processed all RHS per grid step instead,
+    which grew every pipeline buffer nb-fold and lost to the sequential
+    loop; this one keeps single-RHS block sizes.)
 
     Per-RHS scalars (alpha/beta/delta, the freeze guard) live in SMEM
-    as (2, nb) arrays with the scalar recurrences unrolled over the
-    static batch.
+    (2, nb) arrays indexed by the inner grid coordinate.
     k1(coefp, beta2, delta2, r, d, Sr, Sd)
         -> (dnew, q, Sdnew, alpha_done (4, nb))
     with state planes (2, nb, Nv, Nh), boundaries (2, nb, G, 2P, Nh).
@@ -590,105 +618,90 @@ def _build_k1_coef_batched(offsets, grid, nb, Bv, interpret=False):
     assert nv % Bv == 0, (nv, Bv)
     G = nv // Bv
     noff = len(offsets)
-
-    blk = pl.BlockSpec((2, nb, Bv, nh), lambda i: (0, 0, i, 0))
-    cblk = pl.BlockSpec((2, noff, Bv, nh), lambda i: (0, 0, i, 0))
-    sblk = pl.BlockSpec((2, nb, 1, 2 * P, nh), lambda i: (0, 0, i, 0, 0))
-    sblk_m1 = pl.BlockSpec(
-        (2, nb, 1, 2 * P, nh),
-        lambda i: (0, 0, jnp.maximum(i - 1, 0), 0, 0))
-    sblk_p1 = pl.BlockSpec(
-        (2, nb, 1, 2 * P, nh),
-        lambda i: (0, 0, jnp.minimum(i + 1, G - 1), 0, 0))
-    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    def smem_out(m):
-        return pl.BlockSpec((m, nb), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
+    blk, cblk, sblk, sblk_m1, sblk_p1, smem_in, smem_out = \
+        _batched_specs(nb, Bv, P, nh, noff, G)
 
     def k1_kernel(beta_ref, delta_ref, coef_ref, r_ref, d_ref,
                   srm_ref, srp_ref, sdm_ref, sdp_ref,
                   dnew_ref, q_ref, sdn_ref, al_ref, dpr, dpi, dq_acc):
         i = pl.program_id(0)
+        b = pl.program_id(1)
+
+        @pl.when((i == 0) & (b == 0))
+        def _():
+            dpr[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
+            dpi[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
 
         @pl.when(i == 0)
         def _():
-            for b in range(nb):
-                dq_acc[0, b] = 0.0
-                dq_acc[1, b] = 0.0
-            dpr[...] = jnp.zeros((nb, Bv + 2 * P, nh + 2 * P), _F)
-            dpi[...] = jnp.zeros((nb, Bv + 2 * P, nh + 2 * P), _F)
+            dq_acc[0, b] = 0.0
+            dq_acc[1, b] = 0.0
 
         tm = jnp.where(i > 0, 1.0, 0.0).astype(_F)
         bm = jnp.where(i < G - 1, 1.0, 0.0).astype(_F)
-        for b in range(nb):
-            br = beta_ref[0, b]
-            bi = beta_ref[1, b]
-            dnr = r_ref[0, b] + br * d_ref[0, b] - bi * d_ref[1, b]
-            dni = r_ref[1, b] + br * d_ref[1, b] + bi * d_ref[0, b]
-            tr_r = tm * (srm_ref[0, b, 0, P:2 * P, :]
-                         + br * sdm_ref[0, b, 0, P:2 * P, :]
-                         - bi * sdm_ref[1, b, 0, P:2 * P, :])
-            tr_i = tm * (srm_ref[1, b, 0, P:2 * P, :]
-                         + br * sdm_ref[1, b, 0, P:2 * P, :]
-                         + bi * sdm_ref[0, b, 0, P:2 * P, :])
-            br_r = bm * (srp_ref[0, b, 0, 0:P, :]
-                         + br * sdp_ref[0, b, 0, 0:P, :]
-                         - bi * sdp_ref[1, b, 0, 0:P, :])
-            br_i = bm * (srp_ref[1, b, 0, 0:P, :]
-                         + br * sdp_ref[1, b, 0, 0:P, :]
-                         + bi * sdp_ref[0, b, 0, 0:P, :])
-            dnew_ref[0, b] = dnr
-            dnew_ref[1, b] = dni
-            sdn_ref[0, b, 0, 0:P, :] = dnr[0:P]
-            sdn_ref[1, b, 0, 0:P, :] = dni[0:P]
-            sdn_ref[0, b, 0, P:2 * P, :] = dnr[Bv - P:Bv]
-            sdn_ref[1, b, 0, P:2 * P, :] = dni[Bv - P:Bv]
-            dpr[b, 0:P, P:P + nh] = tr_r
-            dpi[b, 0:P, P:P + nh] = tr_i
-            dpr[b, P:P + Bv, P:P + nh] = dnr
-            dpi[b, P:P + Bv, P:P + nh] = dni
-            dpr[b, P + Bv:2 * P + Bv, P:P + nh] = br_r
-            dpi[b, P + Bv:2 * P + Bv, P:P + nh] = br_i
+        br = beta_ref[0, b]
+        bi = beta_ref[1, b]
+        dnr = r_ref[0, 0] + br * d_ref[0, 0] - bi * d_ref[1, 0]
+        dni = r_ref[1, 0] + br * d_ref[1, 0] + bi * d_ref[0, 0]
+        tr_r = tm * (srm_ref[0, 0, 0, P:2 * P, :]
+                     + br * sdm_ref[0, 0, 0, P:2 * P, :]
+                     - bi * sdm_ref[1, 0, 0, P:2 * P, :])
+        tr_i = tm * (srm_ref[1, 0, 0, P:2 * P, :]
+                     + br * sdm_ref[1, 0, 0, P:2 * P, :]
+                     + bi * sdm_ref[0, 0, 0, P:2 * P, :])
+        br_r = bm * (srp_ref[0, 0, 0, 0:P, :]
+                     + br * sdp_ref[0, 0, 0, 0:P, :]
+                     - bi * sdp_ref[1, 0, 0, 0:P, :])
+        br_i = bm * (srp_ref[1, 0, 0, 0:P, :]
+                     + br * sdp_ref[1, 0, 0, 0:P, :]
+                     + bi * sdp_ref[0, 0, 0, 0:P, :])
+        dnew_ref[0, 0] = dnr
+        dnew_ref[1, 0] = dni
+        sdn_ref[0, 0, 0, 0:P, :] = dnr[0:P]
+        sdn_ref[1, 0, 0, 0:P, :] = dni[0:P]
+        sdn_ref[0, 0, 0, P:2 * P, :] = dnr[Bv - P:Bv]
+        sdn_ref[1, 0, 0, P:2 * P, :] = dni[Bv - P:Bv]
+        dpr[0:P, P:P + nh] = tr_r
+        dpi[0:P, P:P + nh] = tr_i
+        dpr[P:P + Bv, P:P + nh] = dnr
+        dpi[P:P + Bv, P:P + nh] = dni
+        dpr[P + Bv:2 * P + Bv, P:P + nh] = br_r
+        dpi[P + Bv:2 * P + Bv, P:P + nh] = br_i
 
-        for b in range(nb):
-            qr = jnp.zeros((Bv, nh), _F)
-            qi = jnp.zeros((Bv, nh), _F)
-            for s, (dm, dj) in enumerate(offsets):
-                ar = coef_ref[0, s]
-                ai = coef_ref[1, s]
-                xr = dpr[b, P + dm:P + dm + Bv, P + dj:P + dj + nh]
-                xi = dpi[b, P + dm:P + dm + Bv, P + dj:P + dj + nh]
-                qr = qr + ar * xr - ai * xi
-                qi = qi + ar * xi + ai * xr
-            q_ref[0, b] = qr
-            q_ref[1, b] = qi
-            dnr = dnew_ref[0, b]
-            dni = dnew_ref[1, b]
-            dq_acc[0, b] += jnp.sum(dnr * qr - dni * qi)
-            dq_acc[1, b] += jnp.sum(dnr * qi + dni * qr)
+        qr = jnp.zeros((Bv, nh), _F)
+        qi = jnp.zeros((Bv, nh), _F)
+        for s, (dm, dj) in enumerate(offsets):
+            ar = coef_ref[0, s]
+            ai = coef_ref[1, s]
+            xr = dpr[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            xi = dpi[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            qr = qr + ar * xr - ai * xi
+            qi = qi + ar * xi + ai * xr
+        q_ref[0, 0] = qr
+        q_ref[1, 0] = qi
+        dq_acc[0, b] += jnp.sum(dnr * qr - dni * qi)
+        dq_acc[1, b] += jnp.sum(dnr * qi + dni * qr)
 
         @pl.when(i == G - 1)
         def _():
-            for b in range(nb):
-                dqr = dq_acc[0, b]
-                dqi = dq_acc[1, b]
-                der = delta_ref[0, b]
-                dei = delta_ref[1, b]
-                done = (((der == 0.0) & (dei == 0.0))
-                        | ((dqr == 0.0) & (dqi == 0.0)))
-                sdr = jnp.where(done, 1.0, dqr)
-                sdi = jnp.where(done, 1.0, dqi)
-                ar, ai = _smith_cdiv(der, dei, sdr, sdi)
-                al_ref[0, b] = jnp.where(done, 0.0, ar)
-                al_ref[1, b] = jnp.where(done, 0.0, ai)
-                al_ref[2, b] = jnp.where(done, 1.0, 0.0)
-                al_ref[3, b] = 0.0
+            dqr = dq_acc[0, b]
+            dqi = dq_acc[1, b]
+            der = delta_ref[0, b]
+            dei = delta_ref[1, b]
+            done = (((der == 0.0) & (dei == 0.0))
+                    | ((dqr == 0.0) & (dqi == 0.0)))
+            sdr = jnp.where(done, 1.0, dqr)
+            sdi = jnp.where(done, 1.0, dqi)
+            ar, ai = _smith_cdiv(der, dei, sdr, sdi)
+            al_ref[0, b] = jnp.where(done, 0.0, ar)
+            al_ref[1, b] = jnp.where(done, 0.0, ai)
+            al_ref[2, b] = jnp.where(done, 1.0, 0.0)
+            al_ref[3, b] = 0.0
 
     def k1(coefp, beta2, delta2, r, d, Sr, Sd):
         return pl.pallas_call(
             k1_kernel,
-            grid=(G,),
+            grid=(G, nb),
             in_specs=[smem_in, smem_in, cblk, blk, blk, sblk_m1,
                       sblk_p1, sblk_m1, sblk_p1],
             out_specs=(blk, blk, sblk, smem_out(4)),
@@ -697,8 +710,8 @@ def _build_k1_coef_batched(offsets, grid, nb, Bv, interpret=False):
                        jax.ShapeDtypeStruct((2, nb, G, 2 * P, nh), _F),
                        jax.ShapeDtypeStruct((4, nb), _F)),
             scratch_shapes=[
-                pltpu.VMEM((nb, Bv + 2 * P, nh + 2 * P), _F),
-                pltpu.VMEM((nb, Bv + 2 * P, nh + 2 * P), _F),
+                pltpu.VMEM((Bv + 2 * P, nh + 2 * P), _F),
+                pltpu.VMEM((Bv + 2 * P, nh + 2 * P), _F),
                 pltpu.SMEM((2, nb), _F)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -708,64 +721,259 @@ def _build_k1_coef_batched(offsets, grid, nb, Bv, interpret=False):
     return k1
 
 
-def _make_k2_batched(nv, nh, nb, G, Bv, P, interpret=False):
-    """Batched second kernel: per-RHS x/r updates, <r,r>, beta."""
-    blk = pl.BlockSpec((2, nb, Bv, nh), lambda i: (0, 0, i, 0))
-    sblk = pl.BlockSpec((2, nb, 1, 2 * P, nh), lambda i: (0, 0, i, 0, 0))
-    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
+def _build_k1_const_batched(offsets, grid, taps, nb, Bv, interpret=False):
+    """Batched (nb-RHS) constant-tap K1 on a (G, nb) grid.
 
-    def smem_out(m):
-        return pl.BlockSpec((m, nb), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
+    The matrix costs zero HBM bytes here (compile-time taps + tiny
+    strips), so batching buys dispatch amortization: one device program
+    per iteration for the whole batch instead of nb sequential solves.
+    Same contract as the coef variant with ``strips2`` in place of the
+    coefficient planes."""
+    nv, nh = grid
+    cr, ci, lcr, lci, rcr, rci = taps
+    P = _pad_for(offsets)
+    assert nv % Bv == 0, (nv, Bv)
+    G = nv // Bv
+    W = min(nh, 128)
+    noff = len(offsets)
+    blk, _, sblk, sblk_m1, sblk_p1, smem_in, smem_out = \
+        _batched_specs(nb, Bv, P, nh, noff, G)
+    strip = pl.BlockSpec((2, noff, 1, nh), lambda i, b: (0, 0, 0, 0))
+
+    def k1_kernel(beta_ref, delta_ref, r_ref, d_ref, srm_ref, srp_ref,
+                  sdm_ref, sdp_ref, sb_ref, st_ref,
+                  dnew_ref, q_ref, sdn_ref, al_ref, dpr, dpi, dq_acc):
+        i = pl.program_id(0)
+        b = pl.program_id(1)
+
+        @pl.when((i == 0) & (b == 0))
+        def _():
+            dpr[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
+            dpi[...] = jnp.zeros((Bv + 2 * P, nh + 2 * P), _F)
+
+        @pl.when(i == 0)
+        def _():
+            dq_acc[0, b] = 0.0
+            dq_acc[1, b] = 0.0
+
+        br = beta_ref[0, b]
+        bi = beta_ref[1, b]
+        tm = jnp.where(i > 0, 1.0, 0.0).astype(_F)
+        bm = jnp.where(i < G - 1, 1.0, 0.0).astype(_F)
+        dnr = r_ref[0, 0] + br * d_ref[0, 0] - bi * d_ref[1, 0]
+        dni = r_ref[1, 0] + br * d_ref[1, 0] + bi * d_ref[0, 0]
+        tr_r = tm * (srm_ref[0, 0, 0, P:2 * P, :]
+                     + br * sdm_ref[0, 0, 0, P:2 * P, :]
+                     - bi * sdm_ref[1, 0, 0, P:2 * P, :])
+        tr_i = tm * (srm_ref[1, 0, 0, P:2 * P, :]
+                     + br * sdm_ref[1, 0, 0, P:2 * P, :]
+                     + bi * sdm_ref[0, 0, 0, P:2 * P, :])
+        br_r = bm * (srp_ref[0, 0, 0, 0:P, :]
+                     + br * sdp_ref[0, 0, 0, 0:P, :]
+                     - bi * sdp_ref[1, 0, 0, 0:P, :])
+        br_i = bm * (srp_ref[1, 0, 0, 0:P, :]
+                     + br * sdp_ref[1, 0, 0, 0:P, :]
+                     + bi * sdp_ref[0, 0, 0, 0:P, :])
+        dnew_ref[0, 0] = dnr
+        dnew_ref[1, 0] = dni
+        sdn_ref[0, 0, 0, 0:P, :] = dnr[0:P]
+        sdn_ref[1, 0, 0, 0:P, :] = dni[0:P]
+        sdn_ref[0, 0, 0, P:2 * P, :] = dnr[Bv - P:Bv]
+        sdn_ref[1, 0, 0, P:2 * P, :] = dni[Bv - P:Bv]
+        dpr[0:P, P:P + nh] = tr_r
+        dpi[0:P, P:P + nh] = tr_i
+        dpr[P:P + Bv, P:P + nh] = dnr
+        dpi[P:P + Bv, P:P + nh] = dni
+        dpr[P + Bv:2 * P + Bv, P:P + nh] = br_r
+        dpi[P + Bv:2 * P + Bv, P:P + nh] = br_i
+
+        # interior constant taps, equal-coefficient groups (see the
+        # single-RHS kernel for the rationale)
+        igroups = {}
+        for s, (dm, dj) in enumerate(offsets):
+            if cr[s] == 0.0 and ci[s] == 0.0:
+                continue
+            igroups.setdefault((cr[s], ci[s]), []).append((dm, dj))
+        qr = jnp.zeros((Bv, nh), _F)
+        qi = jnp.zeros((Bv, nh), _F)
+        for (gr, gi), offs in igroups.items():
+            (dm, dj) = offs[0]
+            sxr = dpr[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            sxi = dpi[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            for (dm, dj) in offs[1:]:
+                sxr = sxr + dpr[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+                sxi = sxi + dpi[P + dm:P + dm + Bv, P + dj:P + dj + nh]
+            if gr != 0.0:
+                qr = qr + gr * sxr
+                qi = qi + gr * sxi
+            if gi != 0.0:
+                qr = qr - gi * sxi
+                qi = qi + gi * sxr
+        lanes = lax.broadcasted_iota(jnp.int32, (Bv, W), 1)
+        lm = (lanes == 0).astype(_F)
+        rm = (lanes == W - 1).astype(_F)
+        lgroups = {}
+        rgroups = {}
+        for s, (dm, dj) in enumerate(offsets):
+            if lcr[s] != 0.0 or lci[s] != 0.0:
+                lgroups.setdefault((lcr[s], lci[s]), []).append((dm, dj))
+            if rcr[s] != 0.0 or rci[s] != 0.0:
+                rgroups.setdefault((rcr[s], rci[s]), []).append((dm, dj))
+        alr = jnp.zeros((Bv, W), _F)
+        ali = jnp.zeros((Bv, W), _F)
+        arr = jnp.zeros((Bv, W), _F)
+        ari = jnp.zeros((Bv, W), _F)
+        for (gr, gi), offs in lgroups.items():
+            sxr = jnp.zeros((Bv, W), _F)
+            sxi = jnp.zeros((Bv, W), _F)
+            for (dm, dj) in offs:
+                sxr = sxr + dpr[P + dm:P + dm + Bv, P + dj:P + dj + W]
+                sxi = sxi + dpi[P + dm:P + dm + Bv, P + dj:P + dj + W]
+            alr = alr + gr * sxr - gi * sxi
+            ali = ali + gr * sxi + gi * sxr
+        for (gr, gi), offs in rgroups.items():
+            sxr = jnp.zeros((Bv, W), _F)
+            sxi = jnp.zeros((Bv, W), _F)
+            for (dm, dj) in offs:
+                sxr = sxr + dpr[P + dm:P + dm + Bv,
+                                P + nh - W + dj:P + nh + dj]
+                sxi = sxi + dpi[P + dm:P + dm + Bv,
+                                P + nh - W + dj:P + nh + dj]
+            arr = arr + gr * sxr - gi * sxi
+            ari = ari + gr * sxi + gi * sxr
+        q_ref[0, 0] = qr
+        q_ref[1, 0] = qi
+        q_ref[0, 0, :, 0:W] = q_ref[0, 0, :, 0:W] + alr * lm
+        q_ref[1, 0, :, 0:W] = q_ref[1, 0, :, 0:W] + ali * lm
+        q_ref[0, 0, :, nh - W:nh] = q_ref[0, 0, :, nh - W:nh] + arr * rm
+        q_ref[1, 0, :, nh - W:nh] = q_ref[1, 0, :, nh - W:nh] + ari * rm
+
+        @pl.when(i == 0)
+        def _():
+            rbr = jnp.zeros((1, nh), _F)
+            rbi = jnp.zeros((1, nh), _F)
+            for s, (dm, dj) in enumerate(offsets):
+                xr = dpr[P + dm:P + dm + 1, P + dj:P + dj + nh]
+                xi = dpi[P + dm:P + dm + 1, P + dj:P + dj + nh]
+                ar = sb_ref[0, s]
+                ai = sb_ref[1, s]
+                rbr = rbr + ar * xr - ai * xi
+                rbi = rbi + ar * xi + ai * xr
+            q_ref[0, 0, 0:1, :] = q_ref[0, 0, 0:1, :] + rbr
+            q_ref[1, 0, 0:1, :] = q_ref[1, 0, 0:1, :] + rbi
+
+        @pl.when(i == G - 1)
+        def _():
+            rtr = jnp.zeros((1, nh), _F)
+            rti = jnp.zeros((1, nh), _F)
+            for s, (dm, dj) in enumerate(offsets):
+                xr = dpr[P + Bv - 1 + dm:P + Bv + dm, P + dj:P + dj + nh]
+                xi = dpi[P + Bv - 1 + dm:P + Bv + dm, P + dj:P + dj + nh]
+                ar = st_ref[0, s]
+                ai = st_ref[1, s]
+                rtr = rtr + ar * xr - ai * xi
+                rti = rti + ar * xi + ai * xr
+            q_ref[0, 0, Bv - 1:Bv, :] = q_ref[0, 0, Bv - 1:Bv, :] + rtr
+            q_ref[1, 0, Bv - 1:Bv, :] = q_ref[1, 0, Bv - 1:Bv, :] + rti
+
+        qfr = q_ref[0, 0]
+        qfi = q_ref[1, 0]
+        dq_acc[0, b] += jnp.sum(dnr * qfr - dni * qfi)
+        dq_acc[1, b] += jnp.sum(dnr * qfi + dni * qfr)
+
+        @pl.when(i == G - 1)
+        def _():
+            dqr = dq_acc[0, b]
+            dqi = dq_acc[1, b]
+            der = delta_ref[0, b]
+            dei = delta_ref[1, b]
+            done = (((der == 0.0) & (dei == 0.0))
+                    | ((dqr == 0.0) & (dqi == 0.0)))
+            sdr = jnp.where(done, 1.0, dqr)
+            sdi = jnp.where(done, 1.0, dqi)
+            ar, ai = _smith_cdiv(der, dei, sdr, sdi)
+            al_ref[0, b] = jnp.where(done, 0.0, ar)
+            al_ref[1, b] = jnp.where(done, 0.0, ai)
+            al_ref[2, b] = jnp.where(done, 1.0, 0.0)
+            al_ref[3, b] = 0.0
+
+    def k1(strips2, beta2, delta2, r, d, Sr, Sd):
+        sb, st = strips2
+        return pl.pallas_call(
+            k1_kernel,
+            grid=(G, nb),
+            in_specs=[smem_in, smem_in, blk, blk, sblk_m1, sblk_p1,
+                      sblk_m1, sblk_p1, strip, strip],
+            out_specs=(blk, blk, sblk, smem_out(4)),
+            out_shape=(jax.ShapeDtypeStruct((2, nb, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nb, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nb, G, 2 * P, nh), _F),
+                       jax.ShapeDtypeStruct((4, nb), _F)),
+            scratch_shapes=[
+                pltpu.VMEM((Bv + 2 * P, nh + 2 * P), _F),
+                pltpu.VMEM((Bv + 2 * P, nh + 2 * P), _F),
+                pltpu.SMEM((2, nb), _F)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(beta2, delta2, r, d, Sr, Sr, Sd, Sd, sb, st)
+
+    return k1
+
+
+def _make_k2_batched(nv, nh, nb, G, Bv, P, interpret=False):
+    """Batched second kernel on the (G, nb) grid: per-RHS x/r updates,
+    <r,r>, beta (single-RHS-sized pipeline blocks, SMEM scalars indexed
+    by the inner grid coordinate -- see :func:`_batched_specs`)."""
+    blk, _, sblk, _, _, smem_in, smem_out = \
+        _batched_specs(nb, Bv, P, nh, 1, G)
 
     def k2_kernel(al_ref, delta_ref, x_ref, d_ref, r_ref, q_ref,
                   xn_ref, rn_ref, srn_ref, beta_ref, dn_ref, hist_ref,
                   d_acc):
         i = pl.program_id(0)
+        b = pl.program_id(1)
 
         @pl.when(i == 0)
         def _():
-            for b in range(nb):
-                d_acc[0, b] = 0.0
-                d_acc[1, b] = 0.0
+            d_acc[0, b] = 0.0
+            d_acc[1, b] = 0.0
 
-        for b in range(nb):
-            ar = al_ref[0, b]
-            ai = al_ref[1, b]
-            xn_ref[0, b] = x_ref[0, b] + ar * d_ref[0, b] - ai * d_ref[1, b]
-            xn_ref[1, b] = x_ref[1, b] + ar * d_ref[1, b] + ai * d_ref[0, b]
-            nrr = r_ref[0, b] - (ar * q_ref[0, b] - ai * q_ref[1, b])
-            nri = r_ref[1, b] - (ar * q_ref[1, b] + ai * q_ref[0, b])
-            rn_ref[0, b] = nrr
-            rn_ref[1, b] = nri
-            srn_ref[0, b, 0, 0:P, :] = nrr[0:P]
-            srn_ref[1, b, 0, 0:P, :] = nri[0:P]
-            srn_ref[0, b, 0, P:2 * P, :] = nrr[Bv - P:Bv]
-            srn_ref[1, b, 0, P:2 * P, :] = nri[Bv - P:Bv]
-            d_acc[0, b] += jnp.sum(nrr * nrr - nri * nri)
-            d_acc[1, b] += 2.0 * jnp.sum(nrr * nri)
+        ar = al_ref[0, b]
+        ai = al_ref[1, b]
+        xn_ref[0, 0] = x_ref[0, 0] + ar * d_ref[0, 0] - ai * d_ref[1, 0]
+        xn_ref[1, 0] = x_ref[1, 0] + ar * d_ref[1, 0] + ai * d_ref[0, 0]
+        nrr = r_ref[0, 0] - (ar * q_ref[0, 0] - ai * q_ref[1, 0])
+        nri = r_ref[1, 0] - (ar * q_ref[1, 0] + ai * q_ref[0, 0])
+        rn_ref[0, 0] = nrr
+        rn_ref[1, 0] = nri
+        srn_ref[0, 0, 0, 0:P, :] = nrr[0:P]
+        srn_ref[1, 0, 0, 0:P, :] = nri[0:P]
+        srn_ref[0, 0, 0, P:2 * P, :] = nrr[Bv - P:Bv]
+        srn_ref[1, 0, 0, P:2 * P, :] = nri[Bv - P:Bv]
+        d_acc[0, b] += jnp.sum(nrr * nrr - nri * nri)
+        d_acc[1, b] += 2.0 * jnp.sum(nrr * nri)
 
         @pl.when(i == G - 1)
         def _():
-            for b in range(nb):
-                dnr = d_acc[0, b]
-                dni = d_acc[1, b]
-                done = al_ref[2, b] > 0.5
-                der = delta_ref[0, b]
-                dei = delta_ref[1, b]
-                sdr = jnp.where(done, 1.0, der)
-                sdi = jnp.where(done, 1.0, dei)
-                br, bi = _smith_cdiv(dnr, dni, sdr, sdi)
-                beta_ref[0, b] = jnp.where(done, 0.0, br)
-                beta_ref[1, b] = jnp.where(done, 0.0, bi)
-                dn_ref[0, b] = dnr
-                dn_ref[1, b] = dni
-                hist_ref[0, b] = jnp.sqrt(jnp.sqrt(dnr * dnr + dni * dni))
+            dnr = d_acc[0, b]
+            dni = d_acc[1, b]
+            done = al_ref[2, b] > 0.5
+            der = delta_ref[0, b]
+            dei = delta_ref[1, b]
+            sdr = jnp.where(done, 1.0, der)
+            sdi = jnp.where(done, 1.0, dei)
+            br, bi = _smith_cdiv(dnr, dni, sdr, sdi)
+            beta_ref[0, b] = jnp.where(done, 0.0, br)
+            beta_ref[1, b] = jnp.where(done, 0.0, bi)
+            dn_ref[0, b] = dnr
+            dn_ref[1, b] = dni
+            hist_ref[0, b] = jnp.sqrt(jnp.sqrt(dnr * dnr + dni * dni))
 
     def k2(alpha_done, delta2, x, d, r, q):
         return pl.pallas_call(
             k2_kernel,
-            grid=(G,),
+            grid=(G, nb),
             in_specs=[smem_in, smem_in, blk, blk, blk, blk],
             out_specs=(blk, blk, sblk, smem_out(2), smem_out(2),
                        smem_out(1)),
@@ -792,34 +1000,16 @@ def _boundary_b(v, G, Bv, P, nh):
                            axis=3)
 
 
-def stream_cg_coef_planes_batched(offsets, grid, coefp, bp, x0p,
-                                  n_iterations: int,
-                                  block_rows: int = None,
-                                  interpret: bool = False):
-    """Multi-RHS variable-coefficient streaming CG.
-
-    bp, x0p : (2, nb, Nv, Nh) float32 planes.
-    Returns (x (2, nb, Nv, Nh), residual_history (n_iterations+1, nb))
-    with per-RHS independent alpha/beta (the reference's block-CG
-    semantics, ``clcg.c:317-333``).
-    """
-    nv, nh = grid
-    nb = bp.shape[1]
-    P = _pad_for(offsets)
-    Bv = block_rows or _pick_block_rows(nv)
-    _check_block_rows(nv, Bv, P, "stream_cg_coef_planes_batched")
-    G = nv // Bv
-    k1 = _build_k1_coef_batched(offsets, grid, nb, Bv,
-                                interpret=interpret)
-    k2 = _make_k2_batched(nv, nh, nb, G, Bv, P, interpret=interpret)
-
+def _stream_loop_batched(k1, k2, op_arg, bp, x0p, n_iterations,
+                         nv, nh, nb, G, Bv, P):
+    """Shared batched driver: r0/delta0 init pass + two-kernel scan."""
     zero2 = jnp.zeros((2, nb), _F)
     one2 = jnp.ones((2, nb), _F)
     zeros_v = jnp.zeros((2, nb, nv, nh), _F)
     zeros_s = jnp.zeros((2, nb, G, 2 * P, nh), _F)
 
     Sx0 = _boundary_b(x0p, G, Bv, P, nh)
-    _, q0, _, _ = k1(coefp, zero2, one2, x0p, zeros_v, Sx0, zeros_s)
+    _, q0, _, _ = k1(op_arg, zero2, one2, x0p, zeros_v, Sx0, zeros_s)
     r0 = bp - q0
     delta0 = jnp.stack([
         jnp.sum(r0[0] * r0[0] - r0[1] * r0[1], axis=(1, 2)),
@@ -828,7 +1018,7 @@ def stream_cg_coef_planes_batched(offsets, grid, coefp, bp, x0p,
 
     def body(carry, _):
         x, r, d, Sr, Sd, delta2, beta2 = carry
-        dnew, q, Sdnew, alpha_done = k1(coefp, beta2, delta2, r, d,
+        dnew, q, Sdnew, alpha_done = k1(op_arg, beta2, delta2, r, d,
                                         Sr, Sd)
         xn, rn, Srn, beta_new, delta_new, hist1 = k2(
             alpha_done, delta2, x, dnew, r, q)
@@ -839,6 +1029,53 @@ def stream_cg_coef_planes_batched(offsets, grid, coefp, bp, x0p,
                                            length=n_iterations)
     h0 = jnp.sqrt(jnp.sqrt(delta0[0] ** 2 + delta0[1] ** 2))
     return x, jnp.concatenate([h0[None], hist[:, 0, :]])
+
+
+def stream_cg_coef_planes_batched(offsets, grid, coefp, bp, x0p,
+                                  n_iterations: int,
+                                  block_rows: int = None,
+                                  interpret: bool = False):
+    """Multi-RHS variable-coefficient streaming CG.
+
+    bp, x0p : (2, nb, Nv, Nh) float32 planes.
+    Returns (x (2, nb, Nv, Nh), residual_history (n_iterations+1, nb))
+    with per-RHS independent alpha/beta (the reference's block-CG
+    semantics, ``clcg.c:317-333``).  The (G, nb) kernel grid fetches the
+    coefficient planes once per row block for the whole batch, so
+    per-RHS HBM traffic is 10 + 2*noff/nb planes vs the sequential
+    loop's 10 + 2*noff.
+    """
+    nv, nh = grid
+    nb = bp.shape[1]
+    P = _pad_for(offsets)
+    Bv = block_rows or _pick_block_rows(nv)
+    _check_block_rows(nv, Bv, P, "stream_cg_coef_planes_batched")
+    G = nv // Bv
+    k1 = _build_k1_coef_batched(offsets, grid, nb, Bv,
+                                interpret=interpret)
+    k2 = _make_k2_batched(nv, nh, nb, G, Bv, P, interpret=interpret)
+    return _stream_loop_batched(k1, k2, coefp, bp, x0p, n_iterations,
+                                nv, nh, nb, G, Bv, P)
+
+
+def stream_cg_const_planes_batched(offsets, grid, taps, strips2, bp, x0p,
+                                   n_iterations: int,
+                                   block_rows: int = None,
+                                   interpret: bool = False):
+    """Multi-RHS constant-tap streaming CG (one device program per
+    iteration for the whole batch; same contract as the coef variant
+    with ``(taps, strips2)`` from :func:`prepare_stream`)."""
+    nv, nh = grid
+    nb = bp.shape[1]
+    P = _pad_for(offsets)
+    Bv = block_rows or _pick_block_rows(nv)
+    _check_block_rows(nv, Bv, P, "stream_cg_const_planes_batched")
+    G = nv // Bv
+    k1 = _build_k1_const_batched(offsets, grid, taps, nb, Bv,
+                                 interpret=interpret)
+    k2 = _make_k2_batched(nv, nh, nb, G, Bv, P, interpret=interpret)
+    return _stream_loop_batched(k1, k2, strips2, bp, x0p, n_iterations,
+                                nv, nh, nb, G, Bv, P)
 
 
 def prepare_stream_coef(stencil, dtype=np.float32):

@@ -36,6 +36,10 @@ class FGMRESResult:
     iterations: int
     residual_norms: List[float]
     converged: bool
+    # preconditioner applications computed past the convergence point by
+    # the fused-chunk mode (0 in per-iteration mode and for solves whose
+    # convergence lands on a chunk boundary; bounded by chunk-1)
+    wasted_applies: int = 0
 
 
 def _givens(h_diag: complex, h_sub: float):
@@ -256,6 +260,7 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         return res
 
     converged = False
+    wasted_applies = 0
     kk = 0
     if chunk > 1:
         # fused-chunk mode: `steps` whole Arnoldi iterations per device
@@ -282,10 +287,28 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
                 hsubs.append(h_sub)
             return VV, MV, jnp.stack(hcols), jnp.stack(hsubs)
 
+        import math
+
         chunk_fn = jax.jit(arnoldi_chunk, static_argnums=4)
         stop = False
-        for kk0 in range(0, K, chunk):
+        kk0 = 0
+        last_res = norm_b
+        rate = None          # observed per-iteration contraction factor
+        while kk0 < K:
             steps = min(chunk, K - kk0)
+            # adaptive last-chunk split: predict the iterations left
+            # from the observed contraction rate and shrink the chunk
+            # when convergence is expected inside it -- a mid-chunk exit
+            # then wastes no preconditioner applications (each costs a
+            # full subdomain batched CG in the ORAS stack).
+            if last_res < 10.0 * atol:
+                steps = 1
+            elif rate is not None and 0.0 < rate < 1.0 and last_res > 0:
+                n_pred = (math.log(max(atol, 1e-300) / last_res)
+                          / math.log(rate))
+                if n_pred < steps:
+                    steps = max(1, int(math.ceil(n_pred)))
+            r_start = last_res
             VV, MV, hcols_dev, hsubs_dev = chunk_fn(
                 _ops, VV, MV, jnp.asarray(kk0), steps)
             hcols_np = np.asarray(hcols_dev)
@@ -294,12 +317,17 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
                 kk = kk0 + t
                 res = host_update(kk, _as_complex(hcols_np[t]),
                                   float(hsubs_np[t]))
+                last_res = res
                 if res < atol or kk == K - 1:
                     converged = res < atol
                     stop = True
+                    wasted_applies = steps - 1 - t
                     break
             if stop:
                 break
+            if r_start > 0 and last_res > 0 and last_res < r_start:
+                rate = (last_res / r_start) ** (1.0 / steps)
+            kk0 += steps
     else:
         for kk in range(K):
             z = VV[kk]
@@ -349,4 +377,5 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
             print(f"#### zsolup check: row {j} residual {resid[j]:.3e}"
                   "  <-- triangular solve inaccurate", flush=True)
     x = x + lincomb(y, MV[:K])
-    return FGMRESResult(x, m, residual_norms, converged)
+    return FGMRESResult(x, m, residual_norms, converged,
+                        wasted_applies=wasted_applies)

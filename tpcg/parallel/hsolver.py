@@ -103,6 +103,10 @@ class HSolverResult:
     decomp: Decomposition
     wall_time: float
     time_per_it: float
+    # preconditioner applications computed past convergence by the
+    # fused-chunk FGMRES mode (see fgmres ``chunk``); ~0 on converging
+    # solves thanks to the adaptive last-chunk split
+    wasted_prec_applies: int = 0
 
 
 def build_operator(cfg: HelmholtzConfig, decomp: Decomposition):
@@ -378,4 +382,6 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
     return HSolverResult(x=x_out, iterations=its,
                          residual_norms=res.residual_norms,
                          true_residual=true_res, converged=res.converged,
-                         decomp=decomp, wall_time=wall, time_per_it=tpi)
+                         decomp=decomp, wall_time=wall, time_per_it=tpi,
+                         wasted_prec_applies=getattr(res,
+                                                     "wasted_applies", 0))
