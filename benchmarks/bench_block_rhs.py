@@ -21,8 +21,9 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
-    from tpcg.ops.cplx import block_cg_planes, make_pair_operator
-    from tpcg.ops.fused_cg import fused_cg_stencil, prepare_coef3
+    from tpcg.ops.cplx import (block_cg_planes_chunked,
+                               make_pair_operator)
+    from tpcg.ops.fused_cg import fused_cg_stencil_chunked, prepare_coef3
     from tpcg.problems import helm_fe, plane_wave_rhs
 
     iters = 1000
@@ -38,58 +39,82 @@ def main():
 
     P = make_pair_operator(A, dtype=jnp.float32)
     rows = []
+    # R solves chained per readback: the ~27 ms tunnel round-trip
+    # otherwise dominates sub-100ms runs (benchmarks/exp_floor.py)
+    R = 4
     for nb in (1, 2, 4, 8, 16, 32, 48, 64):
         B = np.stack([(r + 1) * bg for r in range(nb)])
         bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
         x0 = jnp.zeros_like(bp)
 
-        # fused VMEM kernel (lane-packed per-RHS scalars: batch capacity
-        # bounded by VMEM only -- the reference hits a hard
-        # CL_OUT_OF_RESOURCES cap at b=47 instead, report SV); the XLA
-        # streaming planes path is the fallback.
-        run = None
-        path = "fused-vmem"
-        try:
-            fn = jax.jit(lambda c, b, x: fused_cg_stencil(
-                A.offsets, c, b, x, iters)[1][-1])
-            rn = np.asarray(fn(coef3, bp, x0))  # compile + warm
-            assert np.all(np.isfinite(rn)), (nb, rn)
-            run = lambda: np.asarray(fn(coef3, bp, x0))
-        except Exception as e:                  # capacity/compile
-            print(f"# fused path failed at nb={nb}: "
-                  f"{str(e)[:120]}", flush=True)
-        if run is None:
-            path = "xla-stream"
-            b2 = bp.reshape(2, nb, n).transpose(0, 2, 1)
-            fn2 = jax.jit(lambda b: block_cg_planes(
-                P, b, n_iterations=iters).residual_history[-1])
-            rn = np.asarray(fn2(b2))
-            assert np.all(np.isfinite(rn)), (nb, rn)
-            run = lambda: np.asarray(fn2(b2))
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run()
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
-        flops = iters * nb * 4 * (2 * nnz + 10 * n)
-        gflops = flops / dt / 1e9
-        rows.append((nb, dt, gflops, path))
-        print(json.dumps({"n_rhs": nb, "time_s": round(dt, 4),
-                          "gflops": round(gflops, 1), "path": path}),
-              flush=True)
+        candidates = []
 
-    out = ["# Block-RHS scaling (helm_fem config, fused kernel, "
-           f"{iters} iterations, TPU v5e)", "",
-           "Reference (report Fig. 6, RTX 2080S, m_t1): rises to "
-           "~40 GFLOPS at b=20; hard cap b=47 (CL_OUT_OF_RESOURCES).",
-           "", "| n_rhs | time (s) | GFLOPS | path |", "|---|---|---|---|"]
-    for nb, dt, gf, path in rows:
-        out.append(f"| {nb} | {dt:.4f} | {gf:.1f} | {path} |")
-    path = os.path.join(os.path.dirname(__file__), "BLOCK_RHS.md")
-    with open(path, "w") as f:
+        # fused VMEM kernels: 16-RHS chunks scanned inside one program
+        # past the monolithic kernel's compile cap (the reference hits a
+        # hard CL_OUT_OF_RESOURCES cap at b=47 instead, report SV)
+        @jax.jit
+        def fused_many(c, b, x):
+            def body(x0c, _):
+                _, hist = fused_cg_stencil_chunked(A.offsets, c, b, x0c,
+                                                   iters)
+                last = hist[-1]
+                return x0c + (1e-30 * last[0]).astype(x0c.dtype), last
+            _, lasts = jax.lax.scan(body, x, None, length=R)
+            return lasts
+        candidates.append(("fused-vmem", fused_many, (coef3, bp, x0)))
+
+        # XLA streaming planes path
+        b2 = bp.reshape(2, nb, n).transpose(0, 2, 1)
+
+        @jax.jit
+        def xla_many(b):
+            def body(c, _):
+                h = block_cg_planes_chunked(
+                    P, b, n_iterations=iters).residual_history[-1]
+                return c + 1e-30 * h[0], h
+            _, lasts = jax.lax.scan(body, 0.0, None, length=R)
+            return lasts
+        candidates.append(("xla-stream", xla_many, (b2,)))
+
+        best = None
+        for path, fn, args in candidates:
+            try:
+                rn = np.asarray(fn(*args))
+                assert np.all(np.isfinite(rn)), (nb, path, rn)
+            except Exception as e:
+                print(f"# {path} failed at nb={nb}: {str(e)[:120]}",
+                      flush=True)
+                continue
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(fn(*args))
+                times.append(time.perf_counter() - t0)
+            dt = min(times) / R
+            flops = iters * nb * 4 * (2 * nnz + 10 * n)
+            gflops = flops / dt / 1e9
+            print(json.dumps({"n_rhs": nb, "time_s": round(dt, 4),
+                              "gflops": round(gflops, 1), "path": path}),
+                  flush=True)
+            if best is None or gflops > best[2]:
+                best = (nb, dt, gflops, path)
+        rows.append(best)
+
+    out = ["# Block-RHS scaling (helm_fem config, best path per batch, "
+           f"{iters} iterations x {R} chained solves per readback, "
+           "TPU v5e)",
+           "",
+           "Reference (report Fig. 6, RTX 2080S, m_t1): rises to ~40 "
+           "GFLOPS at b=20; hard cap b=47 (CL_OUT_OF_RESOURCES).",
+           "",
+           "| n_rhs | time/solve (s) | GFLOPS | path |",
+           "|---|---|---|---|"]
+    for nb, dt, gflops, p in rows:
+        out.append(f"| {nb} | {dt:.4f} | {gflops:.1f} | {p} |")
+    md = os.path.join(os.path.dirname(__file__), "BLOCK_RHS.md")
+    with open(md, "w") as f:
         f.write("\n".join(out) + "\n")
-    print("wrote", path)
+    print("wrote", md)
 
 
 if __name__ == "__main__":

@@ -1,4 +1,4 @@
-"""Reference Fig. 5 headline suite: CG GFLOPS on synthetic analogues of
+"""Reference Fig. 5 headline suite (round-trip-amortized timing): CG GFLOPS on synthetic analogues of
 all five report matrices (report Table I / Fig. 5, RTX 2080S numbers).
 
 SuiteSparse files are not redistributable here (zero-egress sandbox), so
@@ -77,6 +77,35 @@ def banded_complex(n, offsets, seed=0):
     return (A + A.T) * 0.5  # complex-symmetric (COCG territory)
 
 
+R_CHAIN = 4
+
+
+def chained(solver, b_index):
+    """solver(*args) -> per-RHS last residual; returns a jitted runner
+    executing R_CHAIN solves back-to-back in one program (the b operand
+    perturbed by 1e-30 * previous result so XLA cannot CSE the repeats)
+    with ONE readback -- the ~27 ms tunnel round-trip otherwise
+    dominates sub-100 ms solves (benchmarks/exp_floor.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(*args):
+        args = list(args)
+        b0 = args[b_index]
+
+        def body(carry, _):
+            a = list(args)
+            a[b_index] = b0 + (1e-30 * carry).astype(b0.dtype)
+            last = solver(*a)
+            return jnp.max(last).astype(jnp.float32), last
+
+        _, lasts = jax.lax.scan(body, jnp.float32(0.0), None,
+                                length=R_CHAIN)
+        return lasts
+
+    return jax.jit(run)
+
+
 def time_reps(fn, *args, reps=3):
     rn = np.asarray(fn(*args))
     assert np.all(np.isfinite(rn)), rn
@@ -85,7 +114,7 @@ def time_reps(fn, *args, reps=3):
         t0 = time.perf_counter()
         np.asarray(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return min(ts) / R_CHAIN
 
 
 def main():
@@ -117,8 +146,8 @@ def main():
         R = jax.device_put(R)
         b = jnp.ones((n,), jnp.float32)
         iters = 5000
-        fn = jax.jit(lambda M, b: block_cg(M, b, n_iterations=iters)
-                     .residual_history[-1])
+        fn = chained(lambda M, b: block_cg(M, b, n_iterations=iters)
+                     .residual_history[-1], b_index=1)
         dt = time_reps(fn, R, b)
         record("1138_bus", n, A.nnz, iters, dt, cplx=False)
     except Exception as e:
@@ -133,8 +162,8 @@ def main():
         M = jax.device_put(DiaMatrix.from_scipy(A.astype(np.float32)))
         b = jnp.ones((n,), jnp.float32)
         iters = 200
-        fn = jax.jit(lambda M, b: block_cg(M, b, n_iterations=iters)
-                     .residual_history[-1])
+        fn = chained(lambda M, b: block_cg(M, b, n_iterations=iters)
+                     .residual_history[-1], b_index=1)
         dt = time_reps(fn, M, b)
         record("m_t1", n, A.nnz, iters, dt, cplx=False)
     except Exception as e:
@@ -165,8 +194,8 @@ def main():
         M = jax.device_put(A)
         b = jnp.ones((n,), jnp.float32)
         iters = 200
-        fn = jax.jit(lambda M, b: block_cg(M, b, n_iterations=iters)
-                     .residual_history[-1])
+        fn = chained(lambda M, b: block_cg(M, b, n_iterations=iters)
+                     .residual_history[-1], b_index=1)
         dt = time_reps(fn, M, b)
         record("parabolic_fem", n, nnz, iters, dt, cplx=False)
     except Exception as e:
@@ -181,8 +210,8 @@ def main():
         b2 = jnp.stack([jnp.ones((n, 1), jnp.float32),
                         jnp.zeros((n, 1), jnp.float32)])
         iters = 5000
-        fn = jax.jit(lambda P, b: block_cg_planes(
-            P, b, n_iterations=iters).residual_history[-1])
+        fn = chained(lambda P, b: block_cg_planes(
+            P, b, n_iterations=iters).residual_history[-1], b_index=1)
         dt = time_reps(fn, P, b2)
         record("mhd1280b", n, A.nnz, iters, dt, cplx=True)
     except Exception as e:
@@ -202,8 +231,8 @@ def main():
                         .astype(np.float32))
         x0 = jnp.zeros_like(b)
         iters = 5000
-        fn = jax.jit(lambda c, b, x: fused_cg_stencil(
-            A.offsets, c, b, x, iters)[1][-1])
+        fn = chained(lambda c, b, x: fused_cg_stencil(
+            A.offsets, c, b, x, iters)[1][-1], b_index=1)
         dt = time_reps(fn, coef3, b, x0)
         record("helm_fem", n, nnz, iters, dt, cplx=True)
     except Exception as e:

@@ -34,7 +34,8 @@ def main():
             print(f"M={M_s} W={W_s} chunk={chunk}: {its} its, "
                   f"{dt:.2f}s warm ({dt/its*1e3:.0f} ms/it), "
                   f"{dt_cold:.1f}s cold, true resid "
-                  f"{res.true_residual:.3e}", flush=True)
+                  f"{res.true_residual:.3e}, wasted prec applies "
+                  f"{res.wasted_prec_applies}", flush=True)
 
 
 if __name__ == "__main__":

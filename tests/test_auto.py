@@ -30,6 +30,10 @@ def test_path_selection(prob, monkeypatch):
     # kernel (measured faster than the const-tap variant at every
     # VMEM-resident size)
     assert plan_stencil_cg(A, 5, interpret=True).path == "vmem-coef"
+    # larger RHS batches at VMEM sizes go to the chunked XLA planes
+    # path (BLOCK_RHS.md: it wins from b~4 and has no b=32 cliff)
+    assert plan_stencil_cg(A, 5, nb=2, interpret=True).path == "vmem-coef"
+    assert plan_stencil_cg(A, 5, nb=4, interpret=True).path == "xla"
     # too big for VMEM + const edges -> stream (any batch; multi-RHS
     # dispatches the batched (G, nb)-grid kernels)
     monkeypatch.setattr(auto, "_VMEM_NODES", 16)

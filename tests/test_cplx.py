@@ -81,3 +81,31 @@ def test_block_cg_planes_f32():
     native = block_cg(S, jnp.asarray(b), n_iterations=20)
     np.testing.assert_allclose(from_planes(res.x), np.asarray(native.x),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_block_cg_planes_chunked_matches_monolithic():
+    """RHS-chunked planes CG (the b>32 VMEM-spill fix) must reproduce
+    the single-program solve per RHS, including a padded last chunk."""
+    import jax.numpy as jnp
+    from tpcg.ops.cplx import (block_cg_planes, block_cg_planes_chunked,
+                               make_pair_operator)
+    from tpcg.problems import helm_fe, plane_wave_rhs
+
+    N, k, iters, nb = 12, 4.0, 15, 5
+    S = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k).reshape(-1)
+    B = np.stack([(r + 1) * b for r in range(nb)], axis=1)   # (n, nb)
+    bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
+    P = make_pair_operator(S, dtype=jnp.float32)
+    r1 = block_cg_planes(P, bp, n_iterations=iters)
+    r2 = block_cg_planes_chunked(P, bp, n_iterations=iters, chunk=2)
+    # per-RHS recurrences are independent, but XLA vectorizes the
+    # length-n reductions differently per batch width -- f32 histories
+    # drift at rounding level, not bit level
+    scale = float(np.abs(np.asarray(r1.x)).max())
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                               rtol=0, atol=2e-3 * scale)
+    np.testing.assert_allclose(np.asarray(r2.residual_history),
+                               np.asarray(r1.residual_history),
+                               rtol=5e-3)
+    assert r2.delta.shape == r1.delta.shape

@@ -165,6 +165,29 @@ def test_fused_mxu_matches_general():
                                atol=2e-3 * scale)
 
 
+def test_fused_chunked_matches_monolithic():
+    """Batches beyond the fused kernel's compile cap run as a scan of
+    chunk-sized kernels in one program; results must equal the
+    monolithic kernel per RHS, including a padded final chunk."""
+    from tpcg.ops.fused_cg import fused_cg_stencil_chunked, prepare_coef3
+    N, k = 12, 4.0
+    S = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    nb = 5                                   # 3 chunks of 2, one padded
+    B = np.stack([(r + 1) * b for r in range(nb)])
+    bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
+    x0 = jnp.zeros_like(bp)
+    coef3 = prepare_coef3(S)
+    xc, hc = fused_cg_stencil_chunked(S.offsets, coef3, bp, x0, 15,
+                                      chunk=2, interpret=True)
+    xm, hm = fused_cg(S, B, n_iterations=15, interpret=True)
+    assert xc.shape == (2, nb, N, N) and hc.shape == (16, nb)
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(xm),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hc), np.asarray(hm),
+                               rtol=1e-6)
+
+
 def test_fused_mxu_rejects_row_variable():
     """Coefficients varying across interior rows cannot fold into the
     lane-matmul form; prepare_mxu must refuse (planner falls back)."""

@@ -83,8 +83,8 @@ def _solve_planes(A, B, X0, n_iterations, Pop=None):
     import warnings
     import jax
     import jax.numpy as jnp
-    from .ops.cplx import (block_cg_planes, from_planes,
-                           make_pair_operator, to_planes)
+    from .ops.cplx import (block_cg_planes_chunked as block_cg_planes,
+                           from_planes, make_pair_operator, to_planes)
 
     dtype = np.asarray(B).dtype
     fdt = jnp.float32 if dtype == np.complex64 else jnp.float64

@@ -54,6 +54,9 @@ _REAL_STREAM_NODES = 2048 * 2048
 # const path (benchmarks/exp_stream3.py: v3 wins at N=2048, loses at
 # N=1024 where the VMEM scratch staging dominates)
 _V3_NODES = 2048 * 2048
+# VMEM-resident complex batches beyond this go to the (chunked) XLA
+# planes path instead of the fused kernel (benchmarks/BLOCK_RHS.md)
+_FUSED_BATCH_MAX = 2
 
 
 def _norm_b(b, nv, nh):
@@ -129,8 +132,13 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
                 # N=128, 775 vs 684 at N=512) -- VMEM coefficient reads
                 # are nearly free, the const kernel's strip/edge
                 # corrections are not.  vmem-const stays available as an
-                # explicit path.
-                path = "vmem-coef"
+                # explicit path.  For RHS batches past a few, the XLA
+                # planes path wins outright (benchmarks/BLOCK_RHS.md:
+                # 1305 vs 919 GFLOPS at b=32; its working set tiles,
+                # the monolithic kernel's is all-resident) -- route
+                # those to "xla" (which chunks batches at 32).
+                path = ("vmem-coef" if nb <= _FUSED_BATCH_MAX
+                        else "xla")
             elif _streamable():
                 # beyond VMEM the coefficient traffic is real HBM bytes:
                 # fold constant interiors to compile-time taps.  The
@@ -192,9 +200,11 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
         return solve
 
     if path == "vmem-coef":
-        from .fused_cg import prepare_coef3, fused_cg_stencil
+        from .fused_cg import prepare_coef3, fused_cg_stencil_chunked
         coef3 = prepare_coef3(stencil)
-        fn = jax.jit(lambda c3, bp, x0p: fused_cg_stencil(
+        # chunked: batches beyond the fused kernel's compile cap run as
+        # a scan of 16-RHS kernels in one program (no b=32 cliff)
+        fn = jax.jit(lambda c3, bp, x0p: fused_cg_stencil_chunked(
             stencil.offsets, c3, bp, x0p, n_iterations,
             interpret=interpret))
 
@@ -334,9 +344,9 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
         coef = np.asarray(stencil.coef)
         is_complex = np.iscomplexobj(coef)
         if is_complex and default_backend() != "cpu":
-            from .cplx import block_cg_planes, make_pair_operator
+            from .cplx import block_cg_planes_chunked, make_pair_operator
             Pop = make_pair_operator(stencil, dtype=jnp.float32)
-            fn = jax.jit(lambda bp, x0p: block_cg_planes(
+            fn = jax.jit(lambda bp, x0p: block_cg_planes_chunked(
                 Pop, bp, x0p, n_iterations=n_iterations))
 
             def solve(b, x0):

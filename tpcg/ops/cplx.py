@@ -186,3 +186,47 @@ def block_cg_planes(A, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     if squeeze:
         x = x[..., 0]
     return CGPlanesResult(x=x, residual_history=history, delta=delta)
+
+
+def block_cg_planes_chunked(A, b: jnp.ndarray,
+                            x0: Optional[jnp.ndarray] = None,
+                            n_iterations: int = 10,
+                            chunk: int = 32) -> CGPlanesResult:
+    """Arbitrary-batch :func:`block_cg_planes`: RHS chunks solved
+    back-to-back inside one program.
+
+    Beyond ~32 simultaneous RHS the single-program working set spills
+    VMEM on v5e and throughput collapses (benchmarks/BLOCK_RHS.md:
+    1305 GFLOPS at b=32 vs 466 at b=64); per-RHS recurrences are
+    independent (``clcg.c:317-333``), so chunking restores flat
+    per-RHS throughput at any batch.
+    """
+    if b.ndim == 2 or b.shape[-1] <= chunk:
+        return block_cg_planes(A, b, x0, n_iterations)
+    nrhs = b.shape[-1]
+    pad = (-nrhs) % chunk
+    if pad:
+        zb = jnp.zeros(b.shape[:-1] + (pad,), b.dtype)
+        b = jnp.concatenate([b, zb], axis=-1)
+        if x0 is not None:
+            x0 = jnp.concatenate([x0, zb], axis=-1)
+    nc = b.shape[-1] // chunk
+    bs = jnp.moveaxis(b.reshape(b.shape[:-1] + (nc, chunk)), -2, 0)
+    if x0 is None:
+        x0s = jnp.zeros_like(bs)
+    else:
+        x0s = jnp.moveaxis(x0.reshape(x0.shape[:-1] + (nc, chunk)),
+                           -2, 0)
+
+    def body(carry, bx):
+        bc_, x0c = bx
+        res = block_cg_planes(A, bc_, x0c, n_iterations)
+        return carry, (res.x, res.residual_history, res.delta)
+
+    _, (xs, hists, deltas) = lax.scan(body, 0, (bs, x0s))
+    x = jnp.concatenate([xs[c] for c in range(nc)], axis=-1)[..., :nrhs]
+    hist = jnp.concatenate([hists[c] for c in range(nc)],
+                           axis=-1)[..., :nrhs]
+    delta = jnp.concatenate([deltas[c] for c in range(nc)],
+                            axis=-1)[..., :nrhs]
+    return CGPlanesResult(x=x, residual_history=hist, delta=delta)

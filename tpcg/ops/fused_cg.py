@@ -330,6 +330,52 @@ def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
     return x, hist
 
 
+# largest batch the monolithic fused kernel compiles on the remote
+# Mosaic backend (nb=32 crashes the compiler outright, HTTP 500);
+# larger batches run as a scan of chunk-sized kernels in one program
+_FUSED_RHS_CAP = 16
+
+
+def fused_cg_stencil_chunked(offsets, coef3, b, x0, n_iterations: int,
+                             chunk: int = _FUSED_RHS_CAP,
+                             interpret: bool = False):
+    """Arbitrary-batch fused CG: a ``lax.scan`` of chunk-sized fused
+    kernels inside ONE device program.
+
+    Lifts the reference's hard b=47 resource cap (report SV,
+    ``CL_OUT_OF_RESOURCES``) -- and this backend's own compile cliff at
+    nb=32 -- by construction: per-RHS recurrences are independent
+    (``clcg.c:317-333``), so chunks solve back-to-back at the b=chunk
+    throughput with zero cross-chunk cost.  b, x0: (2, nb, Nv, Nh);
+    returns the same (x, history) layout as ``fused_cg_stencil``.
+    """
+    from jax import lax as _lax
+
+    _, nb, nv, nh = b.shape
+    if nb <= chunk:
+        return fused_cg_stencil(offsets, coef3, b, x0, n_iterations,
+                                interpret=interpret)
+    pad = (-nb) % chunk
+    if pad:
+        zb = jnp.zeros((2, pad, nv, nh), b.dtype)
+        b = jnp.concatenate([b, zb], axis=1)
+        x0 = jnp.concatenate([x0, zb], axis=1)
+    nc = b.shape[1] // chunk
+    bs = b.reshape(2, nc, chunk, nv, nh).transpose(1, 0, 2, 3, 4)
+    x0s = x0.reshape(2, nc, chunk, nv, nh).transpose(1, 0, 2, 3, 4)
+
+    def body(carry, bx):
+        bc_, x0c = bx
+        x, hist = fused_cg_stencil(offsets, coef3, bc_, x0c,
+                                   n_iterations, interpret=interpret)
+        return carry, (x, hist)
+
+    _, (xs, hists) = _lax.scan(body, 0, (bs, x0s))
+    x = xs.transpose(1, 0, 2, 3, 4).reshape(2, nc * chunk, nv, nh)
+    hist = jnp.concatenate([hists[c] for c in range(nc)], axis=1)
+    return x[:, :nb], hist[:, :nb]
+
+
 def prepare_coef3(stencil, dtype=np.float32) -> jnp.ndarray:
     """Stencil2D (complex coef) -> (3, noff, Nv, Nh) [Ar, Ai, Ar+Ai]."""
     c = np.asarray(stencil.coef)
