@@ -128,6 +128,32 @@ def test_stream_coef_batched_matches_oracle():
     assert rel.max() < 5e-3, rel.max()
 
 
+def test_stream_coef_batched_fat_matches_oracle():
+    """The fat-block batched variant (all RHS per grid step -- true
+    coefficient sharing) against the XLA oracle."""
+    from tpcg.ops.stream_cg import (prepare_stream_coef,
+                                    stream_cg_coef_planes_batched_fat)
+    from tpcg.problems import helm_fe_var
+    N, nb, iters, k = 64, 3, 20, 12.0
+    rng = np.random.default_rng(5)
+    C = 1.0 + 0.5 * rng.random((N - 1, N - 1))
+    A = helm_fe_var(N, k, C, rho=0.1)
+    B = np.stack([plane_wave_rhs(N, k) * (1 + 0.2j * r)
+                  for r in range(nb)])
+    coefp = prepare_stream_coef(A)
+    bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
+    x, hist = stream_cg_coef_planes_batched_fat(
+        A.offsets, A.grid, coefp, bp, jnp.zeros_like(bp), iters,
+        interpret=True)
+    P = make_pair_operator(A, dtype=jnp.float32)
+    b2 = jnp.asarray(np.stack([B.real, B.imag]).reshape(2, nb, N * N)
+                     .transpose(0, 2, 1).astype(np.float32))
+    hs = np.asarray(block_cg_planes(P, b2, n_iterations=iters)
+                    .residual_history)
+    rel = np.abs(np.asarray(hist) - hs) / (np.abs(hs) + 1e-30)
+    assert rel.max() < 5e-3, rel.max()
+
+
 def test_stream_const_batched_matches_oracle():
     """The multi-RHS constant-tap streaming kernel (one program per
     iteration for the whole batch) against the XLA oracle, including a

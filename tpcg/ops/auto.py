@@ -263,13 +263,18 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
         else:
             from .stream_cg import (prepare_stream_coef,
                                     stream_cg_coef_planes,
-                                    stream_cg_coef_planes_batched)
+                                    stream_cg_coef_planes_batched_fat)
             strips2 = prepare_stream_coef(stencil)
             fn = jax.jit(lambda cp, bp, x0p: stream_cg_coef_planes(
                 stencil.offsets, stencil.grid, cp, bp, x0p,
                 n_iterations, interpret=interpret))
+            # fat variant: all RHS share one coefficient fetch per row
+            # block (measured >= per-RHS-step everywhere; 1.2-1.37x the
+            # sequential loop at N=2048).  Chunk so a viable Bv >= 16
+            # exists under the remote compiler's nb*Bv*nh VMEM cap.
+            _BATCH_CAP = max(1, min(_BATCH_CAP, (512 * 1024) // (16 * nh)))
             fnb = jax.jit(lambda cp, bp, x0p:
-                          stream_cg_coef_planes_batched(
+                          stream_cg_coef_planes_batched_fat(
                               stencil.offsets, stencil.grid, cp, bp,
                               x0p, n_iterations, interpret=interpret))
 

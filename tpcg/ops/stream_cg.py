@@ -992,6 +992,222 @@ def _make_k2_batched(nv, nh, nb, G, Bv, P, interpret=False):
     return k2
 
 
+def _build_k1_coef_batched_fat(offsets, grid, nb, Bv, interpret=False):
+    """Batched (nb-RHS) variable-coefficient K1, all RHS per grid step.
+
+    The coefficient planes are read ONCE per block and shared by all
+    nb right-hand sides -- the whole point of block mode here: with the
+    state at 10 planes/RHS and the coefficients at 2*noff planes total,
+    per-RHS HBM traffic drops from 10 + 2*noff to 10 + 2*noff/nb
+    (the reference's block trick amortizes kernel launches + matrix
+    reads the same way, report section V / Fig. 6).
+
+    Per-RHS scalars (alpha/beta/delta, the freeze guard) live in SMEM
+    as (2, nb) arrays with the scalar recurrences unrolled over the
+    static batch.
+    k1(coefp, beta2, delta2, r, d, Sr, Sd)
+        -> (dnew, q, Sdnew, alpha_done (4, nb))
+    with state planes (2, nb, Nv, Nh), boundaries (2, nb, G, 2P, Nh).
+    """
+    nv, nh = grid
+    P = _pad_for(offsets)
+    assert nv % Bv == 0, (nv, Bv)
+    G = nv // Bv
+    noff = len(offsets)
+
+    blk = pl.BlockSpec((2, nb, Bv, nh), lambda i: (0, 0, i, 0))
+    cblk = pl.BlockSpec((2, noff, Bv, nh), lambda i: (0, 0, i, 0))
+    sblk = pl.BlockSpec((2, nb, 1, 2 * P, nh), lambda i: (0, 0, i, 0, 0))
+    sblk_m1 = pl.BlockSpec(
+        (2, nb, 1, 2 * P, nh),
+        lambda i: (0, 0, jnp.maximum(i - 1, 0), 0, 0))
+    sblk_p1 = pl.BlockSpec(
+        (2, nb, 1, 2 * P, nh),
+        lambda i: (0, 0, jnp.minimum(i + 1, G - 1), 0, 0))
+    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def smem_out(m):
+        return pl.BlockSpec((m, nb), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    def k1_kernel(beta_ref, delta_ref, coef_ref, r_ref, d_ref,
+                  srm_ref, srp_ref, sdm_ref, sdp_ref,
+                  dnew_ref, q_ref, sdn_ref, al_ref, dpr, dpi, dq_acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for b in range(nb):
+                dq_acc[0, b] = 0.0
+                dq_acc[1, b] = 0.0
+            dpr[...] = jnp.zeros((nb, Bv + 2 * P, nh + 2 * P), _F)
+            dpi[...] = jnp.zeros((nb, Bv + 2 * P, nh + 2 * P), _F)
+
+        tm = jnp.where(i > 0, 1.0, 0.0).astype(_F)
+        bm = jnp.where(i < G - 1, 1.0, 0.0).astype(_F)
+        for b in range(nb):
+            br = beta_ref[0, b]
+            bi = beta_ref[1, b]
+            dnr = r_ref[0, b] + br * d_ref[0, b] - bi * d_ref[1, b]
+            dni = r_ref[1, b] + br * d_ref[1, b] + bi * d_ref[0, b]
+            tr_r = tm * (srm_ref[0, b, 0, P:2 * P, :]
+                         + br * sdm_ref[0, b, 0, P:2 * P, :]
+                         - bi * sdm_ref[1, b, 0, P:2 * P, :])
+            tr_i = tm * (srm_ref[1, b, 0, P:2 * P, :]
+                         + br * sdm_ref[1, b, 0, P:2 * P, :]
+                         + bi * sdm_ref[0, b, 0, P:2 * P, :])
+            br_r = bm * (srp_ref[0, b, 0, 0:P, :]
+                         + br * sdp_ref[0, b, 0, 0:P, :]
+                         - bi * sdp_ref[1, b, 0, 0:P, :])
+            br_i = bm * (srp_ref[1, b, 0, 0:P, :]
+                         + br * sdp_ref[1, b, 0, 0:P, :]
+                         + bi * sdp_ref[0, b, 0, 0:P, :])
+            dnew_ref[0, b] = dnr
+            dnew_ref[1, b] = dni
+            sdn_ref[0, b, 0, 0:P, :] = dnr[0:P]
+            sdn_ref[1, b, 0, 0:P, :] = dni[0:P]
+            sdn_ref[0, b, 0, P:2 * P, :] = dnr[Bv - P:Bv]
+            sdn_ref[1, b, 0, P:2 * P, :] = dni[Bv - P:Bv]
+            dpr[b, 0:P, P:P + nh] = tr_r
+            dpi[b, 0:P, P:P + nh] = tr_i
+            dpr[b, P:P + Bv, P:P + nh] = dnr
+            dpi[b, P:P + Bv, P:P + nh] = dni
+            dpr[b, P + Bv:2 * P + Bv, P:P + nh] = br_r
+            dpi[b, P + Bv:2 * P + Bv, P:P + nh] = br_i
+
+        for b in range(nb):
+            qr = jnp.zeros((Bv, nh), _F)
+            qi = jnp.zeros((Bv, nh), _F)
+            for s, (dm, dj) in enumerate(offsets):
+                ar = coef_ref[0, s]
+                ai = coef_ref[1, s]
+                xr = dpr[b, P + dm:P + dm + Bv, P + dj:P + dj + nh]
+                xi = dpi[b, P + dm:P + dm + Bv, P + dj:P + dj + nh]
+                qr = qr + ar * xr - ai * xi
+                qi = qi + ar * xi + ai * xr
+            q_ref[0, b] = qr
+            q_ref[1, b] = qi
+            dnr = dnew_ref[0, b]
+            dni = dnew_ref[1, b]
+            dq_acc[0, b] += jnp.sum(dnr * qr - dni * qi)
+            dq_acc[1, b] += jnp.sum(dnr * qi + dni * qr)
+
+        @pl.when(i == G - 1)
+        def _():
+            for b in range(nb):
+                dqr = dq_acc[0, b]
+                dqi = dq_acc[1, b]
+                der = delta_ref[0, b]
+                dei = delta_ref[1, b]
+                done = (((der == 0.0) & (dei == 0.0))
+                        | ((dqr == 0.0) & (dqi == 0.0)))
+                sdr = jnp.where(done, 1.0, dqr)
+                sdi = jnp.where(done, 1.0, dqi)
+                ar, ai = _smith_cdiv(der, dei, sdr, sdi)
+                al_ref[0, b] = jnp.where(done, 0.0, ar)
+                al_ref[1, b] = jnp.where(done, 0.0, ai)
+                al_ref[2, b] = jnp.where(done, 1.0, 0.0)
+                al_ref[3, b] = 0.0
+
+    def k1(coefp, beta2, delta2, r, d, Sr, Sd):
+        return pl.pallas_call(
+            k1_kernel,
+            grid=(G,),
+            in_specs=[smem_in, smem_in, cblk, blk, blk, sblk_m1,
+                      sblk_p1, sblk_m1, sblk_p1],
+            out_specs=(blk, blk, sblk, smem_out(4)),
+            out_shape=(jax.ShapeDtypeStruct((2, nb, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nb, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nb, G, 2 * P, nh), _F),
+                       jax.ShapeDtypeStruct((4, nb), _F)),
+            scratch_shapes=[
+                pltpu.VMEM((nb, Bv + 2 * P, nh + 2 * P), _F),
+                pltpu.VMEM((nb, Bv + 2 * P, nh + 2 * P), _F),
+                pltpu.SMEM((2, nb), _F)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(beta2, delta2, coefp, r, d, Sr, Sr, Sd, Sd)
+
+    return k1
+
+
+def _make_k2_batched_fat(nv, nh, nb, G, Bv, P, interpret=False):
+    """Batched second kernel: per-RHS x/r updates, <r,r>, beta."""
+    blk = pl.BlockSpec((2, nb, Bv, nh), lambda i: (0, 0, i, 0))
+    sblk = pl.BlockSpec((2, nb, 1, 2 * P, nh), lambda i: (0, 0, i, 0, 0))
+    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def smem_out(m):
+        return pl.BlockSpec((m, nb), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    def k2_kernel(al_ref, delta_ref, x_ref, d_ref, r_ref, q_ref,
+                  xn_ref, rn_ref, srn_ref, beta_ref, dn_ref, hist_ref,
+                  d_acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for b in range(nb):
+                d_acc[0, b] = 0.0
+                d_acc[1, b] = 0.0
+
+        for b in range(nb):
+            ar = al_ref[0, b]
+            ai = al_ref[1, b]
+            xn_ref[0, b] = x_ref[0, b] + ar * d_ref[0, b] - ai * d_ref[1, b]
+            xn_ref[1, b] = x_ref[1, b] + ar * d_ref[1, b] + ai * d_ref[0, b]
+            nrr = r_ref[0, b] - (ar * q_ref[0, b] - ai * q_ref[1, b])
+            nri = r_ref[1, b] - (ar * q_ref[1, b] + ai * q_ref[0, b])
+            rn_ref[0, b] = nrr
+            rn_ref[1, b] = nri
+            srn_ref[0, b, 0, 0:P, :] = nrr[0:P]
+            srn_ref[1, b, 0, 0:P, :] = nri[0:P]
+            srn_ref[0, b, 0, P:2 * P, :] = nrr[Bv - P:Bv]
+            srn_ref[1, b, 0, P:2 * P, :] = nri[Bv - P:Bv]
+            d_acc[0, b] += jnp.sum(nrr * nrr - nri * nri)
+            d_acc[1, b] += 2.0 * jnp.sum(nrr * nri)
+
+        @pl.when(i == G - 1)
+        def _():
+            for b in range(nb):
+                dnr = d_acc[0, b]
+                dni = d_acc[1, b]
+                done = al_ref[2, b] > 0.5
+                der = delta_ref[0, b]
+                dei = delta_ref[1, b]
+                sdr = jnp.where(done, 1.0, der)
+                sdi = jnp.where(done, 1.0, dei)
+                br, bi = _smith_cdiv(dnr, dni, sdr, sdi)
+                beta_ref[0, b] = jnp.where(done, 0.0, br)
+                beta_ref[1, b] = jnp.where(done, 0.0, bi)
+                dn_ref[0, b] = dnr
+                dn_ref[1, b] = dni
+                hist_ref[0, b] = jnp.sqrt(jnp.sqrt(dnr * dnr + dni * dni))
+
+    def k2(alpha_done, delta2, x, d, r, q):
+        return pl.pallas_call(
+            k2_kernel,
+            grid=(G,),
+            in_specs=[smem_in, smem_in, blk, blk, blk, blk],
+            out_specs=(blk, blk, sblk, smem_out(2), smem_out(2),
+                       smem_out(1)),
+            out_shape=(jax.ShapeDtypeStruct((2, nb, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nb, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nb, G, 2 * P, nh), _F),
+                       jax.ShapeDtypeStruct((2, nb), _F),
+                       jax.ShapeDtypeStruct((2, nb), _F),
+                       jax.ShapeDtypeStruct((1, nb), _F)),
+            scratch_shapes=[pltpu.SMEM((2, nb), _F)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(alpha_done, delta2, x, d, r, q)
+
+    return k2
+
+
 def _boundary_b(v, G, Bv, P, nh):
     """(2, nb, nv, nh) -> (2, nb, G, 2P, nh)."""
     nb = v.shape[1]
@@ -1011,6 +1227,16 @@ def _stream_loop_batched(k1, k2, op_arg, bp, x0p, n_iterations,
     Sx0 = _boundary_b(x0p, G, Bv, P, nh)
     _, q0, _, _ = k1(op_arg, zero2, one2, x0p, zeros_v, Sx0, zeros_s)
     r0 = bp - q0
+    # NOTE on parity vs the sequential loop: the kernels' arithmetic is
+    # order-identical per RHS (the per-RHS-step and fat variants return
+    # bit-identical histories), but this delta0 reduction fuses with
+    # ``bp - q0`` and XLA tiles the 4-D fused reduction differently
+    # from the single-RHS 3-D one -- a ~2e-6 seed difference that f32
+    # CG on ill-conditioned Helmholtz amplifies to O(10) relative
+    # history divergence by ~100 iterations (benchmarks/exp_batchdiv.py;
+    # per-slice 2-D sums do NOT fix it -- the fusion context still
+    # differs).  Batched vs sequential is therefore gated on SHORT
+    # horizons + end-of-solve true residual, not full-history parity.
     delta0 = jnp.stack([
         jnp.sum(r0[0] * r0[0] - r0[1] * r0[1], axis=(1, 2)),
         2.0 * jnp.sum(r0[0] * r0[1], axis=(1, 2))])
@@ -1054,6 +1280,42 @@ def stream_cg_coef_planes_batched(offsets, grid, coefp, bp, x0p,
     k1 = _build_k1_coef_batched(offsets, grid, nb, Bv,
                                 interpret=interpret)
     k2 = _make_k2_batched(nv, nh, nb, G, Bv, P, interpret=interpret)
+    return _stream_loop_batched(k1, k2, coefp, bp, x0p, n_iterations,
+                                nv, nh, nb, G, Bv, P)
+
+
+def stream_cg_coef_planes_batched_fat(offsets, grid, coefp, bp, x0p,
+                                      n_iterations: int,
+                                      block_rows: int = None,
+                                      interpret: bool = False):
+    """Fat-block batched variant: each grid step carries ALL nb RHS, so
+    one coefficient fetch per row block is genuinely shared (true block
+    amortization: 10 + 2*noff/nb planes per RHS).
+
+    Buffers grow with nb, so Bv shrinks with the batch: the remote
+    Mosaic compiler rejects configurations beyond nb*Bv*nh ~ 512*1024
+    lane-rows (HTTP 500 at b=8/Bv=64/nh=2048; b=8/Bv=64/nh=1024 and
+    b=8/Bv=32/nh=2048 both compile and run -- benchmarks/exp_batchfat.py),
+    and measured throughput at the cap is also the best (N=2048: 1.20x
+    the sequential loop at b=2, 1.32x at b=4, 1.37x at b=8; the
+    remaining gap to the 1.7x traffic-model ceiling is VMEM-pressure
+    pipelining, not coefficient re-fetch)."""
+    nv, nh = grid
+    nb = bp.shape[1]
+    P = _pad_for(offsets)
+    if block_rows:
+        Bv = block_rows
+    else:
+        Bv = _pick_block_rows(nv)
+        while (nb * Bv * nh > 512 * 1024 and Bv // 2 >= max(16, P)
+                and Bv % 2 == 0 and nv % (Bv // 2) == 0
+                and nv // (Bv // 2) >= 2):
+            Bv //= 2
+    _check_block_rows(nv, Bv, P, "stream_cg_coef_planes_batched_fat")
+    G = nv // Bv
+    k1 = _build_k1_coef_batched_fat(offsets, grid, nb, Bv,
+                                    interpret=interpret)
+    k2 = _make_k2_batched_fat(nv, nh, nb, G, Bv, P, interpret=interpret)
     return _stream_loop_batched(k1, k2, coefp, bp, x0p, n_iterations,
                                 nv, nh, nb, G, Bv, P)
 

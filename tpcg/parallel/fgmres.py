@@ -94,7 +94,7 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
            tol: float = 1e-6, krylsize: int = 100, norm=None, wdot=None,
            lincomb=None, lincomb_dev=None, planes: Optional[bool] = None,
            jit_tail: bool = True, check_triangular: bool = False,
-           chunk: int = 1, operands=None,
+           chunk: int = 1, chunk_split: bool = True, operands=None,
            callback: Optional[Callable] = None) -> FGMRESResult:
     """Solve ``A x = b`` with one FGMRES cycle of up to ``krylsize`` steps.
 
@@ -125,6 +125,15 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         applications; the extra orthonormal basis columns are ignored by
         the back-substitution (y is zero past the convergence index).
         Requires a jittable M; chunk=1 reproduces the reference exactly.
+    chunk_split : drop to single Arnoldi steps when convergence is
+        predicted imminent (from the observed contraction rate), so a
+        converging solve wastes ~0 preconditioner applications.  The
+        single-step program is a SECOND traced/compiled variant per
+        solve: on deployments where jits stay warm across solves it is
+        free, but on this one-shot tunneled backend the extra trace
+        (~1.5 s) can exceed the ORAS work it saves (measured +46 ms/it
+        at M=2 W=34) -- set False to trade <= chunk-1 wasted
+        applications for that fixed cost.
     operands : optional pytree of device arrays for the operator and
         preconditioner.  When given, the calling conventions become
         ``matvec(operands, x)`` and ``M(operands, z)`` and the arrays
@@ -297,17 +306,23 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         while kk0 < K:
             steps = min(chunk, K - kk0)
             # adaptive last-chunk split: predict the iterations left
-            # from the observed contraction rate and shrink the chunk
-            # when convergence is expected inside it -- a mid-chunk exit
+            # from the observed contraction rate and drop to SINGLE
+            # steps when convergence is imminent -- a mid-chunk exit
             # then wastes no preconditioner applications (each costs a
-            # full subdomain batched CG in the ORAS stack).
-            if last_res < 10.0 * atol:
-                steps = 1
-            elif rate is not None and 0.0 < rate < 1.0 and last_res > 0:
-                n_pred = (math.log(max(atol, 1e-300) / last_res)
-                          / math.log(rate))
-                if n_pred < steps:
-                    steps = max(1, int(math.ceil(n_pred)))
+            # full subdomain batched CG in the ORAS stack).  Only two
+            # program variants ever exist (`chunk` and 1): every
+            # distinct steps value is a separately traced+compiled
+            # device program PER SOLVE, and that fixed cost quickly
+            # exceeds the waste it avoids (measured +55 ms/it at
+            # M=2 W=34 with per-size chunks).
+            if steps > 1 and chunk_split:
+                n_pred = None
+                if rate is not None and 0.0 < rate < 1.0 and last_res > 0:
+                    n_pred = (math.log(max(atol, 1e-300) / last_res)
+                              / math.log(rate))
+                if last_res < 10.0 * atol or (n_pred is not None
+                                              and n_pred <= 2.5):
+                    steps = 1
             r_start = last_res
             VV, MV, hcols_dev, hsubs_dev = chunk_fn(
                 _ops, VV, MV, jnp.asarray(kk0), steps)

@@ -354,6 +354,7 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
         res = fgmres(mv_ops, b, M=M_ops, x0=x0, tol=cfg.tol,
                      krylsize=cfg.restart, norm=norm, wdot=wdot,
                      lincomb=lincomb, planes=planes, chunk=chunk,
+                     chunk_split=cfg.fgmres_chunk_split,
                      operands=operands, callback=callback)
     wall = time.time() - t0
 

@@ -36,6 +36,9 @@ class HelmholtzConfig:
     fgmres_chunk: int = 1            # Arnoldi steps fused per device call
     #                                  (TPU latency optimization; 1 ==
     #                                  reference behaviour, see fgmres)
+    fgmres_chunk_split: bool = True  # predictive last-chunk splitting
+    #                                  (wasted prec applies ~0; costs one
+    #                                  extra traced program per solve)
 
     # variable-coefficient island (:3593-3605)
     var_coeff: bool = False          # VarCoeff
