@@ -125,15 +125,15 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         applications; the extra orthonormal basis columns are ignored by
         the back-substitution (y is zero past the convergence index).
         Requires a jittable M; chunk=1 reproduces the reference exactly.
-    chunk_split : drop to single Arnoldi steps when convergence is
+    chunk_split : shrink the last chunk(s) when convergence is
         predicted imminent (from the observed contraction rate), so a
-        converging solve wastes ~0 preconditioner applications.  The
-        single-step program is a SECOND traced/compiled variant per
-        solve: on deployments where jits stay warm across solves it is
-        free, but on this one-shot tunneled backend the extra trace
-        (~1.5 s) can exceed the ORAS work it saves (measured +46 ms/it
-        at M=2 W=34) -- set False to trade <= chunk-1 wasted
-        applications for that fixed cost.
+        converging solve wastes ~0 preconditioner applications.  ONE
+        traced program serves every chunk size 1..chunk (the step count
+        is a traced scalar gating each step's preconditioner + matvec
+        with ``lax.cond``), so shrinking costs no re-trace -- only the
+        extra ~30 ms host sync per additional (smaller) chunk.  Set
+        False to accept <= chunk-1 wasted applications and the minimum
+        number of host round-trips.
     operands : optional pytree of device arrays for the operator and
         preconditioner.  When given, the calling conventions become
         ``matvec(operands, x)`` and ``M(operands, z)`` and the arrays
@@ -275,16 +275,35 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
         # fused-chunk mode: `steps` whole Arnoldi iterations per device
         # program, host Givens afterwards (see docstring).
         adt = np.float32 if planes_mode else np.float64
+        from jax import lax
 
-        def arnoldi_chunk(ops, VV, MV, kk0, steps):
+        nchunk = min(chunk, K)
+
+        def arnoldi_chunk(ops, VV, MV, kk0, nact):
+            """``nchunk`` statically-unrolled Arnoldi steps; only the
+            first ``nact`` (a TRACED scalar) do real work.  Inactive
+            steps skip the expensive preconditioner + matvec via
+            ``lax.cond`` and run the cheap CGS tail on zero vectors,
+            which is a no-op by construction: the padded basis rows
+            beyond the active frontier are zero, dots against a zero
+            ``pp`` vanish, and ``VV/MV`` writes re-write zeros (or are
+            dropped as out-of-bounds scatters past row K).  ONE traced
+            program therefore serves every chunk size 1..nchunk -- the
+            earlier design traced a second single-step program for the
+            adaptive last-chunk split, and on one-shot processes that
+            trace cost more than the preconditioner waste it saved
+            (measured +46 ms/it at M=2 W=34)."""
             hcols, hsubs = [], []
-            for t in range(steps):
+            for t in range(nchunk):
                 kk = kk0 + t
+                on = t < nact
                 z = VV[kk]
-                v = M2(ops, z)
+                v = lax.cond(on, lambda zz: M2(ops, zz),
+                             lambda zz: jnp.zeros_like(zz), z)
                 active = (jnp.arange(K + 1) <= kk).astype(adt)
                 MV = MV.at[kk].set(v)
-                pp = mv2(ops, v)
+                pp = lax.cond(on, lambda vv: mv2(ops, vv),
+                              lambda vv: jnp.zeros_like(vv), v)
                 d1 = wdot(VV, pp) * active
                 pp = pp - lincomb_dev(d1, VV)
                 d2 = wdot(VV, pp) * active
@@ -298,31 +317,30 @@ def fgmres(matvec: Callable, b, M: Optional[Callable] = None, x0=None,
 
         import math
 
-        chunk_fn = jax.jit(arnoldi_chunk, static_argnums=4)
+        chunk_fn = jax.jit(arnoldi_chunk)
         stop = False
         kk0 = 0
         last_res = norm_b
         rate = None          # observed per-iteration contraction factor
         while kk0 < K:
-            steps = min(chunk, K - kk0)
-            # adaptive last-chunk split: predict the iterations left
-            # from the observed contraction rate and drop to SINGLE
-            # steps when convergence is imminent -- a mid-chunk exit
-            # then wastes no preconditioner applications (each costs a
-            # full subdomain batched CG in the ORAS stack).  Only two
-            # program variants ever exist (`chunk` and 1): every
-            # distinct steps value is a separately traced+compiled
-            # device program PER SOLVE, and that fixed cost quickly
-            # exceeds the waste it avoids (measured +55 ms/it at
-            # M=2 W=34 with per-size chunks).
+            steps = min(nchunk, K - kk0)
+            # adaptive last-chunk shrink: predict the iterations left
+            # from the observed contraction rate and run only that many
+            # steps -- a mid-chunk exit then wastes no preconditioner
+            # applications (each costs a full subdomain batched CG in
+            # the ORAS stack).  Any steps value reuses the ONE gated
+            # program (`nact` is traced), so this costs no re-trace.
             if steps > 1 and chunk_split:
                 n_pred = None
                 if rate is not None and 0.0 < rate < 1.0 and last_res > 0:
                     n_pred = (math.log(max(atol, 1e-300) / last_res)
                               / math.log(rate))
-                if last_res < 10.0 * atol or (n_pred is not None
-                                              and n_pred <= 2.5):
+                if last_res < 10.0 * atol:
                     steps = 1
+                elif n_pred is not None and n_pred <= steps - 0.5:
+                    # round the prediction up so model error costs one
+                    # extra host sync, not a whole chunk of waste
+                    steps = max(1, min(steps, int(math.ceil(n_pred))))
             r_start = last_res
             VV, MV, hcols_dev, hsubs_dev = chunk_fn(
                 _ops, VV, MV, jnp.asarray(kk0), steps)
