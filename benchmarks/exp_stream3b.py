@@ -33,7 +33,7 @@ def main():
     from tpcg.ops.stream_cg import prepare_stream
     from tpcg.ops.stream_cg_v3 import stream_cg_v3_const_planes
 
-    st = helm_fe(N + 1, k=40.0)
+    st = helm_fe(N, 40.0, eps=40.0)
     taps, strips2 = prepare_stream(st)
     rng = np.random.default_rng(0)
     b = (rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))

@@ -51,6 +51,22 @@ def test_path_selection(prob, monkeypatch):
     assert plan_stencil_cg(Av, 5, nb=4, interpret=True).path == "stream-coef"
 
 
+def test_v3_config_fit_rules():
+    """The merged v3 kernel's keep_r/Bv choice encodes the measured
+    VMEM fits (benchmarks/exp_stream3b/c.py): keep_r + small Bv at
+    N=2048; nothing at grids whose q+dnew scratch alone overflows."""
+    from tpcg.ops.auto import _v3_config
+    assert _v3_config(2048, 2048, coef=False) == (True, 64)
+    assert _v3_config(2048, 2048, coef=True) == (True, 32)
+    # q+dnew alone (268 MB at 4096^2) cannot fit -> v2 fallback
+    assert _v3_config(4096, 4096, coef=False) is None
+    assert _v3_config(4096, 4096, coef=True) is None
+    # narrow band where only the 2-plane scratch fits: keep_r off,
+    # coef forced to Bv=64 (default Bv=128 overflows next to scratch)
+    assert _v3_config(2176, 2048, coef=False) == (False, None)
+    assert _v3_config(2176, 2048, coef=True) == (False, 64)
+
+
 def test_stream_real_path_and_routing(monkeypatch):
     from tpcg.problems.poisson import poisson
     N, iters = 48, 20

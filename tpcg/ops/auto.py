@@ -50,13 +50,38 @@ _VMEM_NODES = 512 * 512
 # exp_realstream.py: XLA 527 GFLOPS at N=1024, stream-real-const wins
 # 235 vs 179 at N=2048)
 _REAL_STREAM_NODES = 2048 * 2048
-# grids at/above this take the merged v3 streaming iteration on the
-# const path (benchmarks/exp_stream3.py: v3 wins at N=2048, loses at
-# N=1024 where the VMEM scratch staging dominates)
+# grids at/above this take the merged v3 streaming iteration (const
+# AND coef paths) when its VMEM scratch fits (benchmarks/exp_stream3.py
+# + exp_stream3c.py: v3 wins at N=2048 -- const 844->727 us/it
+# keep_r=1 Bv=64, coef 1153->962 keep_r=1 Bv=32, both bit-exact vs v2
+# at the same Bv; at N<=1024 the two-kernel v2 pipeline is faster)
 _V3_NODES = 2048 * 2048
 # VMEM-resident complex batches beyond this go to the (chunked) XLA
 # planes path instead of the fused kernel (benchmarks/BLOCK_RHS.md)
 _FUSED_BATCH_MAX = 2
+
+
+def _v3_config(nv, nh, coef):
+    """(keep_r, block_rows) for the merged v3 kernel, or None if its
+    VMEM scratch cannot fit and v2 must be used.
+
+    Scratch is (q, dnew[, r]) f32 planes = (2 or 3) * 2*nv*nh*4 B plus
+    the double-buffered pipeline blocks; measured fits at nv*nh=2048^2
+    (benchmarks/exp_stream3b/c.py): keep_r needs Bv<=64 (const) /
+    Bv<=32 (coef) under the 127 MB limit, no-keep_r fits at the
+    default Bv.  Larger grids overflow even without keep_r.
+    """
+    nodes = nv * nh
+    bv = 32 if coef else 64
+    if (3 * 2 * nodes * 4 <= 101 * 1024 * 1024
+            and nv % bv == 0 and nv // bv >= 2):
+        return True, bv
+    if 2 * 2 * nodes * 4 <= 70 * 1024 * 1024:
+        # coef pipeline blocks at the default Bv=128 overflow next to
+        # the 2-plane scratch (measured at N=2048); Bv=64 fits.
+        bv64 = 64 if (coef and nv % 64 == 0 and nv // 64 >= 2) else None
+        return False, bv64
+    return None
 
 
 def _norm_b(b, nv, nh):
@@ -241,15 +266,19 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                                     stream_cg_const_planes_batched)
             taps, strips2 = (prepared if prepared is not None
                              else prepare_stream(stencil))
-            if nv * nh >= _V3_NODES:
-                # merged one-kernel iteration (q/dnew VMEM-resident):
-                # measured 853 -> 769 us/it at N=2048 (bit-exact); at
-                # N<=1024 the two-kernel v2 pipeline is faster.
+            v3cfg = (_v3_config(nv, nh, coef=False)
+                     if nv * nh >= _V3_NODES else None)
+            if v3cfg is not None:
+                # merged one-kernel iteration (q/dnew [+ r] resident in
+                # VMEM scratch): 844 -> 727 us/it at N=2048 with
+                # keep_r=1 Bv=64, bit-exact vs v2 at the same Bv
+                # (benchmarks/exp_stream3c.py).
                 from .stream_cg_v3 import stream_cg_v3_const_planes
+                kr, bv = v3cfg
                 fn = jax.jit(
                     lambda s2, bp, x0p: stream_cg_v3_const_planes(
                         stencil.offsets, stencil.grid, taps, s2, bp,
-                        x0p, n_iterations, keep_r=False,
+                        x0p, n_iterations, keep_r=kr, block_rows=bv,
                         interpret=interpret))
             else:
                 fn = jax.jit(lambda s2, bp, x0p: stream_cg_const_planes(
@@ -265,9 +294,23 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                                     stream_cg_coef_planes,
                                     stream_cg_coef_planes_batched_fat)
             strips2 = prepare_stream_coef(stencil)
-            fn = jax.jit(lambda cp, bp, x0p: stream_cg_coef_planes(
-                stencil.offsets, stencil.grid, cp, bp, x0p,
-                n_iterations, interpret=interpret))
+            v3cfg = (_v3_config(nv, nh, coef=True)
+                     if nv * nh >= _V3_NODES else None)
+            if v3cfg is not None:
+                # 1153 -> 962 us/it at N=2048 with keep_r=1 Bv=32
+                # (benchmarks/exp_stream3c.py); needs Bv<=32 to fit
+                # the coef pipeline blocks next to the scratch.
+                from .stream_cg_v3 import stream_cg_v3_coef_planes
+                kr, bv = v3cfg
+                fn = jax.jit(
+                    lambda cp, bp, x0p: stream_cg_v3_coef_planes(
+                        stencil.offsets, stencil.grid, cp, bp, x0p,
+                        n_iterations, keep_r=kr, block_rows=bv,
+                        interpret=interpret))
+            else:
+                fn = jax.jit(lambda cp, bp, x0p: stream_cg_coef_planes(
+                    stencil.offsets, stencil.grid, cp, bp, x0p,
+                    n_iterations, interpret=interpret))
             # fat variant: all RHS share one coefficient fetch per row
             # block (measured >= per-RHS-step everywhere; 1.2-1.37x the
             # sequential loop at N=2048).  Chunk so a viable Bv >= 16
