@@ -67,6 +67,23 @@ def test_v3_config_fit_rules():
     assert _v3_config(2176, 2048, coef=True) == (False, 64)
 
 
+def test_v4_config_fit_rules():
+    """The resident v4 kernel's keep_q/Bv choice encodes the measured
+    VMEM fits (benchmarks/exp_stream4.py): all of x/r/d/q resident up
+    to ~1536^2, x/r/d + recomputed q at 2048^2 (const only, Bv capped
+    at 64 -- Bv=128's pipeline buffers overflow), nothing at 4096^2."""
+    from tpcg.ops.auto import _v4_config
+    assert _v4_config(1024, 1024, coef=False) == (True, 128)
+    assert _v4_config(1024, 1024, coef=True) == (True, 128)
+    assert _v4_config(2048, 2048, coef=False) == (False, 64)
+    # coef cannot recompute q without re-streaming coefficients
+    assert _v4_config(2048, 2048, coef=True) is None
+    assert _v4_config(4096, 4096, coef=False) is None
+    # odd heights fall back to _pick_block_rows divisors
+    kq, bv = _v4_config(1040, 1024, coef=False)
+    assert kq and 1040 % bv == 0 and bv <= 128
+
+
 def test_stream_real_path_and_routing(monkeypatch):
     from tpcg.problems.poisson import poisson
     N, iters = 48, 20

@@ -12,10 +12,15 @@ different regime on TPU:
   vmem-const : whole solve in one Pallas kernel, coefficients folded to
                compile-time scalars (``fused_cg_const``) -- available
                explicitly for constant-interior stencils.
-  stream     : HBM-streaming two-kernel iteration (``stream_cg``) --
-               constant-coefficient grids beyond VMEM (N >= 1024).
-               Multi-RHS runs the (G, nb)-grid batched kernels (one
-               device program for the whole batch).
+  stream     : constant-coefficient grids beyond VMEM (N >= 1024).
+               Three tiers, best-fitting picked per grid: the
+               VMEM-resident multi-iteration v4 kernel (state in
+               scratch across iterations, ~zero steady HBM traffic;
+               970/792 GFLOPS at N=1024/2048), the merged v3
+               iteration, the two-kernel v2 pipeline.  Multi-RHS runs
+               sequential v4 solves where v4 fits (faster per RHS than
+               any batched kernel), else the (G, nb)-grid batched
+               kernels.
   stream-coef: same two-kernel iteration with per-node coefficient
                planes streamed alongside the state -- variable
                coefficients beyond VMEM.  Multi-RHS batches share one
@@ -54,11 +59,44 @@ _REAL_STREAM_NODES = 2048 * 2048
 # AND coef paths) when its VMEM scratch fits (benchmarks/exp_stream3.py
 # + exp_stream3c.py: v3 wins at N=2048 -- const 844->727 us/it
 # keep_r=1 Bv=64, coef 1153->962 keep_r=1 Bv=32, both bit-exact vs v2
-# at the same Bv; at N<=1024 the two-kernel v2 pipeline is faster)
+# at the same Bv; at N<=1024 the two-kernel v2 pipeline is faster).
+# v3 is now the fallback tier: the resident v4 kernel supersedes it
+# wherever the v4 VMEM budget fits (see _v4_config).
 _V3_NODES = 2048 * 2048
 # VMEM-resident complex batches beyond this go to the (chunked) XLA
 # planes path instead of the fused kernel (benchmarks/BLOCK_RHS.md)
 _FUSED_BATCH_MAX = 2
+
+
+def _v4_config(nv, nh, coef):
+    """(keep_q, block_rows) for the VMEM-resident v4 kernel, or None
+    when its scratch cannot fit (then v3/v2 stream).
+
+    Measured on v5e (benchmarks/exp_stream4.py, 1000 it, RT-amortized,
+    helm k=40): N=1024 const 161->104 us/it (970 GFLOPS, keep_q
+    Bv=128), coef 191->125 (806); N=2048 const 796->508 (792 GFLOPS,
+    q recomputed, Bv=64 -- Bv=128's pipeline buffers overflow next to
+    the 101 MB x/r/d scratch).  Bit-exact vs v2/v3 at the same Bv.
+    The coef variant needs keep_q (recomputing q would re-stream the
+    coefficient planes), so N=2048 coef stays on v3.
+    """
+    from .stream_cg import _pick_block_rows
+    from .stream_cg_v4 import _KEEPQ_BYTES, _RESIDENT_BYTES
+    nodes = nv * nh
+    keep_q = 8 * nodes * 4 <= _KEEPQ_BYTES
+    if not keep_q and (coef or 6 * nodes * 4 > _RESIDENT_BYTES):
+        return None
+    cap = 128 if keep_q else 64
+    bv = None
+    for c in (cap, cap // 2, cap // 4, 16, 8):
+        if nv % c == 0 and nv // c >= 2:
+            bv = c
+            break
+    if bv is None:
+        b = _pick_block_rows(nv)
+        if b <= cap and nv % b == 0 and nv // b >= 2:
+            bv = b
+    return (keep_q, bv) if bv is not None else None
 
 
 def _v3_config(nv, nh, coef):
@@ -260,15 +298,31 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
         # the batch per program at the SMEM scalar width; larger batches
         # run in chunks.
         _BATCH_CAP = 16
+        seq_multi = False
         if path == "stream":
             from .stream_cg import (prepare_stream,
                                     stream_cg_const_planes,
                                     stream_cg_const_planes_batched)
             taps, strips2 = (prepared if prepared is not None
                              else prepare_stream(stencil))
+            v4cfg = _v4_config(nv, nh, coef=False)
             v3cfg = (_v3_config(nv, nh, coef=False)
-                     if nv * nh >= _V3_NODES else None)
-            if v3cfg is not None:
+                     if v4cfg is None and nv * nh >= _V3_NODES else None)
+            if v4cfg is not None:
+                # VMEM-resident multi-iteration kernel: zero steady-
+                # state HBM traffic (exp_stream4.py: 970 GFLOPS at
+                # N=1024, 792 at N=2048).  Sequential per-RHS v4 solves
+                # beat every batched streaming kernel (104-508 us/it/RHS
+                # vs 165-850), so multi-RHS loops fn instead of fnb.
+                from .stream_cg_v4 import stream_cg_v4_const_planes
+                kq, bv = v4cfg
+                fn = jax.jit(
+                    lambda s2, bp, x0p: stream_cg_v4_const_planes(
+                        stencil.offsets, stencil.grid, taps, s2, bp,
+                        x0p, n_iterations, keep_q=kq, block_rows=bv,
+                        interpret=interpret))
+                seq_multi = True
+            elif v3cfg is not None:
                 # merged one-kernel iteration (q/dnew [+ r] resident in
                 # VMEM scratch): 844 -> 727 us/it at N=2048 with
                 # keep_r=1 Bv=64, bit-exact vs v2 at the same Bv
@@ -294,9 +348,23 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                                     stream_cg_coef_planes,
                                     stream_cg_coef_planes_batched_fat)
             strips2 = prepare_stream_coef(stencil)
+            v4cfg = _v4_config(nv, nh, coef=True)
             v3cfg = (_v3_config(nv, nh, coef=True)
-                     if nv * nh >= _V3_NODES else None)
-            if v3cfg is not None:
+                     if v4cfg is None and nv * nh >= _V3_NODES else None)
+            if v4cfg is not None:
+                # resident state + coefficients streamed once per
+                # iteration: 191->125 us/it at N=1024
+                # (benchmarks/exp_stream4.py); sequential per-RHS v4
+                # beats the fat batched kernel in this regime too.
+                from .stream_cg_v4 import stream_cg_v4_coef_planes
+                _, bv = v4cfg
+                fn = jax.jit(
+                    lambda cp, bp, x0p: stream_cg_v4_coef_planes(
+                        stencil.offsets, stencil.grid, cp, bp, x0p,
+                        n_iterations, block_rows=bv,
+                        interpret=interpret))
+                seq_multi = True
+            elif v3cfg is not None:
                 # 1153 -> 962 us/it at N=2048 with keep_r=1 Bv=32
                 # (benchmarks/exp_stream3c.py); needs Bv<=32 to fit
                 # the coef pipeline blocks next to the scratch.
@@ -337,6 +405,23 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 if squeeze:
                     return xc, np.asarray(hist)
                 return xc[None], np.asarray(hist)[:, None]
+            if seq_multi:
+                # resident v4 solves are faster per RHS than any
+                # batched streaming kernel (exp_stream4.py vs
+                # exp_batchfat.py); run the batch as sequential solves
+                xs, hs = [], []
+                for rix in range(nbv):
+                    bp = jnp.asarray(np.stack([B[rix].real, B[rix].imag])
+                                     .astype(np.float32))
+                    x0p = (jnp.zeros_like(bp) if X0 is None else
+                           jnp.asarray(np.stack([X0[rix].real,
+                                                 X0[rix].imag])
+                                       .astype(np.float32)))
+                    x, hist = fn(strips2, bp, x0p)
+                    x = np.asarray(x)
+                    xs.append((x[0] + 1j * x[1]).astype(np.complex64))
+                    hs.append(np.asarray(hist))
+                return np.stack(xs), np.stack(hs, axis=1)
             xs, hs = [], []
             for lo in range(0, nbv, _BATCH_CAP):
                 Bc = B[lo:lo + _BATCH_CAP]
