@@ -84,6 +84,14 @@ def test_v4_config_fit_rules():
     assert kq and 1040 % bv == 0 and bv <= 128
 
 
+def test_v4_real_config_fit_rules():
+    from tpcg.ops.auto import _v4_real_config
+    assert _v4_real_config(1024, 1024) == (True, 256)
+    assert _v4_real_config(2048, 2048) == (True, 256)
+    assert _v4_real_config(2896, 2896) == (False, 16)
+    assert _v4_real_config(4096, 4096) is None
+
+
 def test_stream_real_path_and_routing(monkeypatch):
     from tpcg.problems.poisson import poisson
     N, iters = 48, 20

@@ -51,10 +51,10 @@ import numpy as np
 # grids up to this many nodes fit the VMEM-resident kernels on v5e
 # (empirical: N=512 compiles and runs; N=1024 exceeds VMEM)
 _VMEM_NODES = 512 * 512
-# real streaming only pays off beyond this size (benchmarks/
-# exp_realstream.py: XLA 527 GFLOPS at N=1024, stream-real-const wins
-# 235 vs 179 at N=2048)
-_REAL_STREAM_NODES = 2048 * 2048
+# real streaming pays off from N=1024 now that the resident v4 kernel
+# exists (benchmarks/exp_realstream4.py: v4 404 vs XLA 384 GFLOPS at
+# N=1024, 745 vs 179 at N=2048, 296 vs 162 at N=2896)
+_REAL_STREAM_NODES = 1024 * 1024
 # grids at/above this take the merged v3 streaming iteration (const
 # AND coef paths) when its VMEM scratch fits (benchmarks/exp_stream3.py
 # + exp_stream3c.py: v3 wins at N=2048 -- const 844->727 us/it
@@ -90,6 +90,33 @@ def _v4_config(nv, nh, coef):
     bv = None
     for c in (cap, cap // 2, cap // 4, 16, 8):
         if nv % c == 0 and nv // c >= 2:
+            bv = c
+            break
+    if bv is None:
+        b = _pick_block_rows(nv)
+        if b <= cap and nv % b == 0 and nv // b >= 2:
+            bv = b
+    return (keep_q, bv) if bv is not None else None
+
+
+def _v4_real_config(nv, nh):
+    """(keep_q, block_rows) for the resident REAL v4 kernel, or None.
+
+    Single f32 planes: x/r/d/q resident up to ~2400^2 (keep_q), the
+    recompute tier to ~2900^2.  Measured (exp_realstream4.py): Bv=256
+    best at keep_q sizes (745 GFLOPS at N=2048); the recompute tier is
+    capped at Bv=64 like the complex kernel.
+    """
+    from .stream_cg import _pick_block_rows
+    from .stream_cg_v4 import _KEEPQ_BYTES, _RESIDENT_BYTES
+    nodes = nv * nh
+    keep_q = 4 * nodes * 4 <= _KEEPQ_BYTES
+    if not keep_q and 3 * nodes * 4 > _RESIDENT_BYTES:
+        return None
+    cap = 256 if keep_q else 64
+    bv = None
+    for c in (cap, cap // 2, cap // 4, 32, 16, 8):
+        if c <= cap and nv % c == 0 and nv // c >= 2:
             bv = c
             break
     if bv is None:
@@ -443,16 +470,40 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
 
     if path == "stream-real":
         from . import stream_cg_real as sr
+        from . import stream_cg_v4_real as sr4
+        v4cfg = _v4_real_config(nv, nh)
         try:
             taps, op_arg = sr.prepare_stream_real(stencil)
-            fn = jax.jit(lambda a, bp, x0p: sr.stream_cg_real_planes(
-                stencil.offsets, stencil.grid, taps, a, bp, x0p,
-                n_iterations, interpret=interpret))
+            if v4cfg is not None:
+                # VMEM-resident multi-iteration kernel: 745 GFLOPS at
+                # N=2048 (3.4x v2), 296 at N=2896
+                # (benchmarks/exp_realstream4.py); bit-exact vs v2 at
+                # matched block_rows
+                kq, bv = v4cfg
+                fn = jax.jit(
+                    lambda a, bp, x0p: sr4.stream_cg_v4_real_planes(
+                        stencil.offsets, stencil.grid, taps, a, bp,
+                        x0p, n_iterations, keep_q=kq, block_rows=bv,
+                        interpret=interpret))
+            else:
+                fn = jax.jit(lambda a, bp, x0p: sr.stream_cg_real_planes(
+                    stencil.offsets, stencil.grid, taps, a, bp, x0p,
+                    n_iterations, interpret=interpret))
         except ValueError:
             op_arg = sr.prepare_stream_coef_real(stencil)
-            fn = jax.jit(lambda a, bp, x0p: sr.stream_cg_real_coef_planes(
-                stencil.offsets, stencil.grid, a, bp, x0p,
-                n_iterations, interpret=interpret))
+            if v4cfg is not None and v4cfg[0]:
+                _, bv = v4cfg
+                fn = jax.jit(
+                    lambda a, bp, x0p:
+                    sr4.stream_cg_v4_real_coef_planes(
+                        stencil.offsets, stencil.grid, a, bp, x0p,
+                        n_iterations, block_rows=bv,
+                        interpret=interpret))
+            else:
+                fn = jax.jit(
+                    lambda a, bp, x0p: sr.stream_cg_real_coef_planes(
+                        stencil.offsets, stencil.grid, a, bp, x0p,
+                        n_iterations, interpret=interpret))
 
         def solve(b, x0):
             # multi-RHS = sequential single-RHS solves (see the complex
