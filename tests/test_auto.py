@@ -73,7 +73,7 @@ def test_v4_config_fit_rules():
     to ~1536^2, x/r/d + recomputed q at 2048^2 (const only, Bv capped
     at 64 -- Bv=128's pipeline buffers overflow), nothing at 4096^2."""
     from tpcg.ops.auto import _v4_config
-    assert _v4_config(1024, 1024, coef=False) == (True, 128)
+    assert _v4_config(1024, 1024, coef=False) == (True, 256)
     assert _v4_config(1024, 1024, coef=True) == (True, 128)
     assert _v4_config(2048, 2048, coef=False) == (False, 64)
     # coef cannot recompute q without re-streaming coefficients

@@ -72,9 +72,10 @@ def _v4_config(nv, nh, coef):
     """(keep_q, block_rows) for the VMEM-resident v4 kernel, or None
     when its scratch cannot fit (then v3/v2 stream).
 
-    Measured on v5e (benchmarks/exp_stream4.py, 1000 it, RT-amortized,
-    helm k=40): N=1024 const 161->104 us/it (970 GFLOPS, keep_q
-    Bv=128), coef 191->125 (806); N=2048 const 796->508 (792 GFLOPS,
+    Measured on v5e (benchmarks/exp_stream4.py + exp_stream4b.py,
+    1000 it, RT-amortized, helm k=40): N=1024 const 161->99 us/it
+    (1018 GFLOPS, keep_q Bv=256), coef 191->125 (806, Bv=128; Bv=256
+    is slightly slower there); N=2048 const 796->508 (792 GFLOPS,
     q recomputed, Bv=64 -- Bv=128's pipeline buffers overflow next to
     the 101 MB x/r/d scratch).  Bit-exact vs v2/v3 at the same Bv.
     The coef variant needs keep_q (recomputing q would re-stream the
@@ -86,7 +87,7 @@ def _v4_config(nv, nh, coef):
     keep_q = 8 * nodes * 4 <= _KEEPQ_BYTES
     if not keep_q and (coef or 6 * nodes * 4 > _RESIDENT_BYTES):
         return None
-    cap = 128 if keep_q else 64
+    cap = (128 if coef else 256) if keep_q else 64
     bv = None
     for c in (cap, cap // 2, cap // 4, 16, 8):
         if nv % c == 0 and nv // c >= 2:
