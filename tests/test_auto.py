@@ -84,6 +84,14 @@ def test_v4_config_fit_rules():
     assert kq and 1040 % bv == 0 and bv <= 128
 
 
+def test_v4_sym_config_fit_rules():
+    from tpcg.ops.auto import _v4_sym_config
+    assert _v4_sym_config(1024, 1024) == (True, 256)
+    # recompute tier exists for sym (halved planes streamed twice)
+    assert _v4_sym_config(2048, 2048) == (False, 32)
+    assert _v4_sym_config(4096, 4096) is None
+
+
 def test_v4_real_config_fit_rules():
     from tpcg.ops.auto import _v4_real_config
     assert _v4_real_config(1024, 1024) == (True, 256)

@@ -100,6 +100,33 @@ def _v4_config(nv, nh, coef):
     return (keep_q, bv) if bv is not None else None
 
 
+def _v4_sym_config(nv, nh):
+    """(keep_q, block_rows) for the symmetric half-plane coefficient
+    kernel, or None.  Unlike the general coef variant it has a
+    recompute tier (halved planes streamed twice still beat v3's
+    state+full-coef traffic): 984 -> 711 us/it at N=2048 with Bv=32
+    (Bv=64 overflows next to the coefficient pads); keep_q sizes run
+    Bv=256 (855 GFLOPS at N=1024).  benchmarks/exp_stream4sym.py.
+    """
+    from .stream_cg import _pick_block_rows
+    from .stream_cg_v4 import _KEEPQ_BYTES, _RESIDENT_BYTES
+    nodes = nv * nh
+    keep_q = 8 * nodes * 4 <= _KEEPQ_BYTES
+    if not keep_q and 6 * nodes * 4 > _RESIDENT_BYTES:
+        return None
+    cap = 256 if keep_q else 32
+    bv = None
+    for c in (cap, cap // 2, cap // 4, 16, 8):
+        if c <= cap and nv % c == 0 and nv // c >= 2:
+            bv = c
+            break
+    if bv is None:
+        b = _pick_block_rows(nv)
+        if b <= cap and nv % b == 0 and nv // b >= 2:
+            bv = b
+    return (keep_q, bv) if bv is not None else None
+
+
 def _v4_real_config(nv, nh):
     """(keep_q, block_rows) for the resident REAL v4 kernel, or None.
 
@@ -376,10 +403,37 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                                     stream_cg_coef_planes,
                                     stream_cg_coef_planes_batched_fat)
             strips2 = prepare_stream_coef(stencil)
-            v4cfg = _v4_config(nv, nh, coef=True)
+            symprep = None
+            try:
+                from .stream_cg_v4_sym import (prepare_stream_sym,
+                                               stream_cg_v4_sym_planes)
+                symprep = prepare_stream_sym(stencil)
+            except ValueError:
+                pass
+            symcfg = (_v4_sym_config(nv, nh) if symprep is not None
+                      else None)
+            v4cfg = (_v4_config(nv, nh, coef=True)
+                     if symcfg is None else None)
             v3cfg = (_v3_config(nv, nh, coef=True)
-                     if v4cfg is None and nv * nh >= _V3_NODES else None)
-            if v4cfg is not None:
+                     if symcfg is None and v4cfg is None
+                     and nv * nh >= _V3_NODES else None)
+            if symcfg is not None:
+                # CG's symmetry contract halves the coefficient planes:
+                # resident state + half-plane streaming (see
+                # _v4_sym_config) -- 855 GFLOPS at N=1024, 566 at
+                # N=2048 (1.38x v3)
+                half_offs, cplanes = symprep
+                kq, bv = symcfg
+                # cplanes ride as a jit ARGUMENT (closure constants of
+                # this size blow up the remote compile request)
+                fn_sym = jax.jit(
+                    lambda cp, bp, x0p: stream_cg_v4_sym_planes(
+                        stencil.offsets, stencil.grid, half_offs,
+                        cp, bp, x0p, n_iterations, keep_q=kq,
+                        block_rows=bv, interpret=interpret))
+                fn = lambda _s2, bp, x0p: fn_sym(cplanes, bp, x0p)
+                seq_multi = True
+            elif v4cfg is not None:
                 # resident state + coefficients streamed once per
                 # iteration: 191->125 us/it at N=1024
                 # (benchmarks/exp_stream4.py); sequential per-RHS v4
