@@ -75,6 +75,10 @@ def test_v4_config_fit_rules():
     from tpcg.ops.auto import _v4_config
     assert _v4_config(1024, 1024, coef=False) == (True, 256)
     assert _v4_config(1024, 1024, coef=True) == (True, 128)
+    # keep_q scratch grows with the grid, so the window budget shrinks
+    # the viable block size (Bv=256 fails to compile at 1536)
+    assert _v4_config(1536, 1536, coef=False) == (True, 128)
+    assert _v4_config(1536, 1536, coef=True) == (True, 64)
     assert _v4_config(2048, 2048, coef=False) == (False, 64)
     # coef cannot recompute q without re-streaming coefficients
     assert _v4_config(2048, 2048, coef=True) is None
@@ -87,6 +91,7 @@ def test_v4_config_fit_rules():
 def test_v4_sym_config_fit_rules():
     from tpcg.ops.auto import _v4_sym_config
     assert _v4_sym_config(1024, 1024) == (True, 256)
+    assert _v4_sym_config(1536, 1536) == (True, 64)
     # recompute tier exists for sym (halved planes streamed twice)
     assert _v4_sym_config(2048, 2048) == (False, 32)
     assert _v4_sym_config(4096, 4096) is None

@@ -68,6 +68,26 @@ _V3_NODES = 2048 * 2048
 _FUSED_BATCH_MAX = 2
 
 
+def _pick_bv_budget(nv, nh, scratch_bytes, win_per_bvnh, cap):
+    """Largest viable block_rows whose pipeline windows fit next to the
+    resident scratch.  win_per_bvnh is the measured bytes of
+    double-buffered block windows per (Bv * nh) element for the kernel
+    variant; the 117 MB budget is calibrated on the observed compile
+    envelope (N=2048 const Bv=64 fits at ~115 MB estimated, Bv=128
+    fails at ~130; N=1536 keep_q Bv=256 fails at ~119, Bv=128 fits)."""
+    from .stream_cg import _pick_block_rows
+    budget = 117e6
+    cands = {c for c in (256, 128, 64, 32, 16, 8) if c <= cap}
+    b = _pick_block_rows(nv)
+    if b <= cap:
+        cands.add(b)
+    for c in sorted(cands, reverse=True):
+        if (nv % c == 0 and nv // c >= 2
+                and scratch_bytes + win_per_bvnh * c * nh <= budget):
+            return c
+    return None
+
+
 def _v4_config(nv, nh, coef):
     """(keep_q, block_rows) for the VMEM-resident v4 kernel, or None
     when its scratch cannot fit (then v3/v2 stream).
@@ -81,22 +101,18 @@ def _v4_config(nv, nh, coef):
     The coef variant needs keep_q (recomputing q would re-stream the
     coefficient planes), so N=2048 coef stays on v3.
     """
-    from .stream_cg import _pick_block_rows
     from .stream_cg_v4 import _KEEPQ_BYTES, _RESIDENT_BYTES
     nodes = nv * nh
     keep_q = 8 * nodes * 4 <= _KEEPQ_BYTES
     if not keep_q and (coef or 6 * nodes * 4 > _RESIDENT_BYTES):
         return None
-    cap = (128 if coef else 256) if keep_q else 64
-    bv = None
-    for c in (cap, cap // 2, cap // 4, 16, 8):
-        if nv % c == 0 and nv // c >= 2:
-            bv = c
-            break
-    if bv is None:
-        b = _pick_block_rows(nv)
-        if b <= cap and nv % b == 0 and nv // b >= 2:
-            bv = b
+    scratch = (8 if keep_q else 6) * nodes * 4
+    # window footprints (bytes per Bv*nh): const = 6 state arrays x
+    # 2 planes x 4 B x 2 buffers + pads; coef adds the 9-plane
+    # coefficient block windows.  coef caps at 128 because Bv=256
+    # measured slightly SLOWER (exp_stream4b.py), not for fit.
+    bv = _pick_bv_budget(nv, nh, scratch, 250 if coef else 110,
+                         cap=128 if coef else 256)
     return (keep_q, bv) if bv is not None else None
 
 
@@ -108,22 +124,15 @@ def _v4_sym_config(nv, nh):
     (Bv=64 overflows next to the coefficient pads); keep_q sizes run
     Bv=256 (855 GFLOPS at N=1024).  benchmarks/exp_stream4sym.py.
     """
-    from .stream_cg import _pick_block_rows
     from .stream_cg_v4 import _KEEPQ_BYTES, _RESIDENT_BYTES
     nodes = nv * nh
     keep_q = 8 * nodes * 4 <= _KEEPQ_BYTES
     if not keep_q and 6 * nodes * 4 > _RESIDENT_BYTES:
         return None
-    cap = 256 if keep_q else 32
-    bv = None
-    for c in (cap, cap // 2, cap // 4, 16, 8):
-        if c <= cap and nv % c == 0 and nv // c >= 2:
-            bv = c
-            break
-    if bv is None:
-        b = _pick_block_rows(nv)
-        if b <= cap and nv % b == 0 and nv // b >= 2:
-            bv = b
+    scratch = (8 if keep_q else 6) * nodes * 4
+    # state windows + half-plane coefficient windows + the padded
+    # coefficient scratch buffers scale together with Bv
+    bv = _pick_bv_budget(nv, nh, scratch, 230, cap=256)
     return (keep_q, bv) if bv is not None else None
 
 
@@ -135,22 +144,13 @@ def _v4_real_config(nv, nh):
     best at keep_q sizes (745 GFLOPS at N=2048); the recompute tier is
     capped at Bv=64 like the complex kernel.
     """
-    from .stream_cg import _pick_block_rows
     from .stream_cg_v4 import _KEEPQ_BYTES, _RESIDENT_BYTES
     nodes = nv * nh
     keep_q = 4 * nodes * 4 <= _KEEPQ_BYTES
     if not keep_q and 3 * nodes * 4 > _RESIDENT_BYTES:
         return None
-    cap = 256 if keep_q else 64
-    bv = None
-    for c in (cap, cap // 2, cap // 4, 32, 16, 8):
-        if c <= cap and nv % c == 0 and nv // c >= 2:
-            bv = c
-            break
-    if bv is None:
-        b = _pick_block_rows(nv)
-        if b <= cap and nv % b == 0 and nv // b >= 2:
-            bv = b
+    scratch = (4 if keep_q else 3) * nodes * 4
+    bv = _pick_bv_budget(nv, nh, scratch, 60, cap=256)
     return (keep_q, bv) if bv is not None else None
 
 
