@@ -105,6 +105,30 @@ def test_v4_real_config_fit_rules():
     assert _v4_real_config(4096, 4096) is None
 
 
+def test_solve_planes_device_surface(monkeypatch):
+    """plan.solve_planes: device-resident single-RHS surface for the
+    stream paths (no numpy round-trip), matching plan.solve exactly;
+    paths without a planes kernel raise."""
+    import jax.numpy as jnp
+    from tpcg.problems import helm_fe, plane_wave_rhs
+    N, iters, k = 64, 12, 9.0
+    A = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    monkeypatch.setattr(auto, "_VMEM_NODES", 16)
+    plan = plan_stencil_cg(A, iters, interpret=True)
+    assert plan.path == "stream"
+    x_np, h_np = plan.solve(b)
+    bp = jnp.asarray(np.stack([b.real, b.imag]).astype(np.float32))
+    xp, hp = plan.solve_planes(bp)
+    xc = np.asarray(xp[0] + 1j * xp[1]).astype(np.complex64)
+    np.testing.assert_array_equal(xc, x_np)
+    np.testing.assert_array_equal(np.asarray(hp), h_np)
+    # xla path has no planes surface
+    plan2 = plan_stencil_cg(A, iters, path="xla")
+    with pytest.raises(ValueError, match="planes"):
+        plan2.solve_planes(bp)
+
+
 def test_stream_real_path_and_routing(monkeypatch):
     from tpcg.problems.poisson import poisson
     N, iters = 48, 20

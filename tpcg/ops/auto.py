@@ -197,6 +197,7 @@ class StencilCGPlan:
     grid: tuple
     n_iterations: int
     _solve: Callable = field(repr=False)
+    _solve_planes: Optional[Callable] = field(default=None, repr=False)
 
     def solve(self, b, x0=None):
         """b, x0 : complex (Nv, Nh) or (B, Nv, Nh) arrays.
@@ -204,8 +205,30 @@ class StencilCGPlan:
         Returns ``(x, history)`` with x complex64 shaped like b and
         history ``(n_iterations+1,)`` (single RHS) or
         ``(n_iterations+1, B)``.
+
+        NOTE: this surface is numpy-in/numpy-out -- each call uploads b
+        and downloads x through the host.  On a tunneled TPU that
+        transfer dominates for large grids (134 MB planes at N=4096
+        take ~3 s each way at ~48 MB/s); repeated device-resident
+        solves should use :meth:`solve_planes`.
         """
         return self._solve(b, x0)
+
+    def solve_planes(self, bp, x0p=None):
+        """Device-resident single-RHS surface for the Pallas stream
+        paths: ``bp``/``x0p`` are (2, Nv, Nh) float32 plane arrays
+        (already on device via ``jax.device_put``); returns device
+        ``(x_planes, history)`` with no host round-trip.  Jit-safe --
+        compose it into larger programs.  Raises on paths without a
+        planes kernel (vmem/xla: use :meth:`solve`)."""
+        if self._solve_planes is None:
+            raise ValueError(
+                f"path {self.path!r} has no device-resident planes "
+                "surface; use plan.solve")
+        import jax.numpy as jnp
+        if x0p is None:
+            x0p = jnp.zeros_like(bp)
+        return self._solve_planes(bp, x0p)
 
 
 def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
@@ -272,7 +295,8 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
     solve = _build_solver(stencil, n_iterations, path, interpret,
                           prepared=prepared)
     return StencilCGPlan(path=path, grid=(nv, nh),
-                         n_iterations=n_iterations, _solve=solve)
+                         n_iterations=n_iterations, _solve=solve,
+                         _solve_planes=getattr(solve, "_planes", None))
 
 
 def stencil_cg(stencil, b, x0=None, n_iterations: int = 10,
@@ -521,6 +545,8 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 hs.append(np.asarray(hist))
             return (np.concatenate(xs),
                     np.concatenate(hs, axis=1))
+        # device-resident surface (plan.solve_planes): (2, Nv, Nh) f32
+        solve._planes = lambda bp, x0p: fn(strips2, bp, x0p)
         return solve
 
     if path == "stream-real":
@@ -576,6 +602,8 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
             if squeeze:
                 return xs[0], hs[0]
             return np.stack(xs), np.stack(hs, axis=1)
+        # device-resident surface: real planes are (Nv, Nh) f32
+        solve._planes = lambda bp, x0p: fn(op_arg, bp, x0p)
         return solve
 
     if path == "xla":
