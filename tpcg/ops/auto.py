@@ -16,7 +16,8 @@ different regime on TPU:
                Three tiers, best-fitting picked per grid: the
                VMEM-resident multi-iteration v4 kernel (state in
                scratch across iterations, ~zero steady HBM traffic;
-               970/792 GFLOPS at N=1024/2048), the merged v3
+               1318/827 GFLOPS at N=1024/2048 chained true-device
+               timing, exp_stream4c.py), the merged v3
                iteration, the two-kernel v2 pipeline.  Multi-RHS runs
                sequential v4 solves where v4 fits (faster per RHS than
                any batched kernel), else the (G, nb)-grid batched
@@ -389,10 +390,11 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                      if v4cfg is None and nv * nh >= _V3_NODES else None)
             if v4cfg is not None:
                 # VMEM-resident multi-iteration kernel: zero steady-
-                # state HBM traffic (exp_stream4.py: 970 GFLOPS at
-                # N=1024, 792 at N=2048).  Sequential per-RHS v4 solves
-                # beat every batched streaming kernel (104-508 us/it/RHS
-                # vs 165-850), so multi-RHS loops fn instead of fnb.
+                # state HBM traffic (exp_stream4.py / exp_stream4c.py:
+                # 1318 GFLOPS at N=1024, 827 at N=2048, chained).
+                # Sequential per-RHS v4 solves beat every batched
+                # streaming kernel (76-508 us/it/RHS vs 165-850), so
+                # multi-RHS loops fn instead of fnb.
                 from .stream_cg_v4 import stream_cg_v4_const_planes
                 kq, bv = v4cfg
                 fn = jax.jit(
