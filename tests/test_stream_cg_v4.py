@@ -67,6 +67,25 @@ def test_stream_v4_coef_bit_matches_v2(chunk):
     np.testing.assert_array_equal(np.asarray(h4), np.asarray(h2))
 
 
+def test_stream_v4_odd_grid_height():
+    """Odd grid heights (the distributed solver's N = (W-1)*M + 1
+    family) stream in divisor row blocks (Bv=13 at N=65) -- the
+    resident kernel must handle non-power-of-2 blocks identically to
+    v2 (regression for trace-time slicing at odd Bv)."""
+    N, iters, k = 65, 12, 9.0
+    A = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    taps, strips2 = prepare_stream(A)
+    bp = _planes(b)
+    x0p = jnp.zeros_like(bp)
+    x2, h2 = stream_cg_const_planes(A.offsets, A.grid, taps, strips2,
+                                    bp, x0p, iters, interpret=True)
+    x4, h4 = stream_cg_v4_const_planes(A.offsets, A.grid, taps, strips2,
+                                       bp, x0p, iters, interpret=True)
+    np.testing.assert_array_equal(np.asarray(x4), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(h4), np.asarray(h2))
+
+
 def test_stream_v4_budget_guards():
     """Public entry points reject grids beyond the resident VMEM
     budget with a clear error instead of a compiler blowup."""

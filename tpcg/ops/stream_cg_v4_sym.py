@@ -36,16 +36,14 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_cg import _pad_for
-from .stream_cg import (_boundary, _build_k1_coef, _check_block_rows,
-                        _pick_block_rows, _smith_cdiv,
-                        prepare_stream_coef)
+from .stream_cg import (_build_k1_coef, _check_block_rows,
+                        _pick_block_rows, _smith_cdiv)
 from .stream_cg_v4 import (_CHUNK, _KEEPQ_BYTES, _RESIDENT_BYTES,
-                           _chunks, _v4_loop)
+                           _v4_loop)
 
 _F = jnp.float32
 
