@@ -219,9 +219,25 @@ def test_flat_batched_rhs_not_squeezed(prob):
         np.testing.assert_allclose(x, x_ref, rtol=1e-6)
 
 
-def test_prime_grid_falls_back_to_xla(monkeypatch):
-    """A grid height with no viable row-block divisor must not pick a
-    streaming path."""
+def test_prime_grid_pads_to_stream(monkeypatch):
+    """A grid height with no viable row-block divisor used to fall back
+    to XLA; beyond VMEM the planner now zero-row-pads to the next
+    128-multiple and streams (pads stay exactly zero, so semantics are
+    unchanged -- gated against the XLA oracle and the batch/squeeze
+    contract)."""
     monkeypatch.setattr(auto, "_VMEM_NODES", 16)
-    A = helm_fe(67, 9.0, eps=9.0)        # 67 prime
-    assert plan_stencil_cg(A, 5, interpret=True).path == "xla"
+    N, iters = 67, 20                    # 67 prime
+    A = helm_fe(N, 9.0, eps=9.0)
+    b = plane_wave_rhs(N, 9.0)
+    plan = plan_stencil_cg(A, iters, interpret=True)
+    assert plan.path.startswith("pad->stream"), plan.path
+    x, h = plan.solve(b)
+    assert x.shape == (N, N) and h.shape == (iters + 1,)
+    x_ref, h_ref = stencil_cg(A, b, n_iterations=iters, path="xla")
+    assert _rel(h, h_ref) < 5e-3
+    # batch axis + x0 preserved through the pad wrapper
+    B2 = np.stack([b, 2 * b])
+    x2, h2 = plan.solve(B2, x0=0.1 * B2)
+    assert x2.shape == (2, N, N) and h2.shape == (iters + 1, 2)
+    # on CPU (no accelerator paths) prime grids still go to xla
+    assert plan_stencil_cg(A, 5).path == "xla"

@@ -69,6 +69,30 @@ _V3_NODES = 2048 * 2048
 _FUSED_BATCH_MAX = 2
 
 
+def _pad_rows(stencil, mult=128):
+    """Zero-row padding of a stencil to the next multiple of ``mult``
+    grid rows, or None when already aligned.
+
+    The padded operator maps pad rows to 0; with b and x0 zero there
+    the CG state stays EXACTLY zero on the pads (every update
+    multiplies or adds zeros), so solutions and residual histories are
+    semantically unchanged -- the pads only contribute +0.0 terms to
+    the reductions.  This is what lets awkward grid heights (the
+    distributed family N = (W-1)*M + 1, primes, 2896-style 16*odd) use
+    the streaming/resident kernels instead of degenerating to the XLA
+    path: padding breaks the const-tap edge detection, so padded plans
+    land on the coefficient paths (sym for symmetric operators)."""
+    import dataclasses
+    nv, nh = stencil.grid
+    nv2 = -(-nv // mult) * mult
+    if nv2 == nv:
+        return None
+    c = np.asarray(stencil.coef)
+    cp = np.zeros((c.shape[0], nv2, nh), c.dtype)
+    cp[:, :nv] = c
+    return dataclasses.replace(stencil, coef=cp, grid=(nv2, nh))
+
+
 def _pick_bv_budget(nv, nh, scratch_bytes, win_per_bvnh, cap):
     """Largest viable block_rows whose pipeline windows fit next to the
     resident scratch.  win_per_bvnh is the measured bytes of
@@ -292,6 +316,50 @@ def plan_stencil_cg(stencil, n_iterations: int, nb: int = 1,
                     path = "stream"
                 except ValueError:
                     path = "stream-coef"
+
+    if path == "xla" and on_accel and not _streamable():
+        # awkward grid heights beyond VMEM: zero-row padding restores a
+        # viable block decomposition (see _pad_rows); only keep the
+        # padded plan if it actually lands on a streaming path
+        big = ((is_complex and n > _VMEM_NODES)
+               or (not is_complex and n >= _REAL_STREAM_NODES))
+        padded = _pad_rows(stencil) if big else None
+        if padded is not None:
+            inner = plan_stencil_cg(padded, n_iterations, nb=nb,
+                                    interpret=interpret)
+            if inner.path != "xla":
+                nv2 = padded.grid[0]
+
+                def solve(b, x0, _inner=inner):
+                    B, squeeze = _norm_b(b, nv, nh)
+                    Bp = np.zeros((B.shape[0], nv2, nh), B.dtype)
+                    Bp[:, :nv] = B
+                    X0p = None
+                    if x0 is not None:
+                        X0, _ = _norm_b(x0, nv, nh)
+                        X0p = np.zeros_like(Bp)
+                        X0p[:, :nv] = X0
+                    x, hist = _inner.solve(Bp, X0p)
+                    x = np.asarray(x)[..., :nv, :]
+                    if squeeze:
+                        return x[0], hist[:, 0]
+                    return x, hist
+
+                solve_planes = None
+                if inner._solve_planes is not None:
+                    import jax.numpy as jnp
+
+                    def solve_planes(bp, x0p, _inner=inner):
+                        pad = ((0, 0), (0, nv2 - nv), (0, 0))
+                        x, hist = _inner.solve_planes(
+                            jnp.pad(bp, pad), jnp.pad(x0p, pad))
+                        return x[..., :nv, :], hist
+
+                return StencilCGPlan(path="pad->" + inner.path,
+                                     grid=(nv, nh),
+                                     n_iterations=n_iterations,
+                                     _solve=solve,
+                                     _solve_planes=solve_planes)
 
     solve = _build_solver(stencil, n_iterations, path, interpret,
                           prepared=prepared)
