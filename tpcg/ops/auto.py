@@ -447,6 +447,7 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
         # run in chunks.
         _BATCH_CAP = 16
         seq_multi = False
+        seq_op = None    # operand for the batched lax.map program
         if path == "stream":
             from .stream_cg import (prepare_stream,
                                     stream_cg_const_planes,
@@ -465,11 +466,12 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 # multi-RHS loops fn instead of fnb.
                 from .stream_cg_v4 import stream_cg_v4_const_planes
                 kq, bv = v4cfg
-                fn = jax.jit(
+                fn_raw = (
                     lambda s2, bp, x0p: stream_cg_v4_const_planes(
                         stencil.offsets, stencil.grid, taps, s2, bp,
                         x0p, n_iterations, keep_q=kq, block_rows=bv,
                         interpret=interpret))
+                fn = jax.jit(fn_raw)
                 seq_multi = True
             elif v3cfg is not None:
                 # merged one-kernel iteration (q/dnew [+ r] resident in
@@ -520,12 +522,14 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 kq, bv = symcfg
                 # cplanes ride as a jit ARGUMENT (closure constants of
                 # this size blow up the remote compile request)
-                fn_sym = jax.jit(
+                fn_raw = (
                     lambda cp, bp, x0p: stream_cg_v4_sym_planes(
                         stencil.offsets, stencil.grid, half_offs,
                         cp, bp, x0p, n_iterations, keep_q=kq,
                         block_rows=bv, interpret=interpret))
+                fn_sym = jax.jit(fn_raw)
                 fn = lambda _s2, bp, x0p: fn_sym(cplanes, bp, x0p)
+                seq_op = cplanes
                 seq_multi = True
             elif v4cfg is not None:
                 # resident state + coefficients streamed once per
@@ -534,11 +538,12 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 # beats the fat batched kernel in this regime too.
                 from .stream_cg_v4 import stream_cg_v4_coef_planes
                 _, bv = v4cfg
-                fn = jax.jit(
+                fn_raw = (
                     lambda cp, bp, x0p: stream_cg_v4_coef_planes(
                         stencil.offsets, stencil.grid, cp, bp, x0p,
                         n_iterations, block_rows=bv,
                         interpret=interpret))
+                fn = jax.jit(fn_raw)
                 seq_multi = True
             elif v3cfg is not None:
                 # 1153 -> 962 us/it at N=2048 with keep_r=1 Bv=32
@@ -565,6 +570,14 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                               stencil.offsets, stencil.grid, cp, bp,
                               x0p, n_iterations, interpret=interpret))
 
+        fn_map = None
+        if seq_multi:
+            if seq_op is None:
+                seq_op = strips2
+            from jax import lax as _lax
+            fn_map = jax.jit(lambda op, bps, x0ps: _lax.map(
+                lambda bx: fn_raw(op, bx[0], bx[1]), (bps, x0ps)))
+
         def solve(b, x0):
             B, squeeze = _norm_b(b, nv, nh)
             X0 = None if x0 is None else _norm_b(x0, nv, nh)[0]
@@ -585,19 +598,17 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 # resident v4 solves are faster per RHS than any
                 # batched streaming kernel (exp_stream4.py vs
                 # exp_batchfat.py); run the batch as sequential solves
-                xs, hs = [], []
-                for rix in range(nbv):
-                    bp = jnp.asarray(np.stack([B[rix].real, B[rix].imag])
-                                     .astype(np.float32))
-                    x0p = (jnp.zeros_like(bp) if X0 is None else
-                           jnp.asarray(np.stack([X0[rix].real,
-                                                 X0[rix].imag])
-                                       .astype(np.float32)))
-                    x, hist = fn(strips2, bp, x0p)
-                    x = np.asarray(x)
-                    xs.append((x[0] + 1j * x[1]).astype(np.complex64))
-                    hs.append(np.asarray(hist))
-                return np.stack(xs), np.stack(hs, axis=1)
+                # inside ONE device program (lax.map: one dispatch, one
+                # readback, one compile regardless of B)
+                bps = jnp.asarray(np.stack([B.real, B.imag], axis=1)
+                                  .astype(np.float32))
+                x0ps = (jnp.zeros_like(bps) if X0 is None else
+                        jnp.asarray(np.stack([X0.real, X0.imag], axis=1)
+                                    .astype(np.float32)))
+                xs, hs = fn_map(seq_op, bps, x0ps)
+                xs = np.asarray(xs)
+                return ((xs[:, 0] + 1j * xs[:, 1]).astype(np.complex64),
+                        np.asarray(hs).T)
             xs, hs = [], []
             for lo in range(0, nbv, _BATCH_CAP):
                 Bc = B[lo:lo + _BATCH_CAP]
