@@ -134,6 +134,35 @@ def test_sharded_comm_lowers_to_collective_permute():
             f"{name}: state-sized all-to-all payloads {big_a2a}"
 
 
+def test_batch_sharded_subdomain_cg_has_no_collectives():
+    """The UseCG=6 analog (reference multi-GPU thread fan-out,
+    ``p_h-PY_C-CL-multi-GPU.py:2123-2181``): a batched subdomain CG
+    with the RHS/batch axis sharded over the mesh is pure data
+    parallelism -- the compiled HLO must contain NO data collectives at
+    all (per-RHS alpha/beta reduce over the LOCAL length axis only,
+    exactly as the reference's threads never communicate mid-solve)."""
+    from tpcg.cg import block_cg
+
+    mesh = make_mesh()
+    N, B = 16, 8
+    A = helm_fe(N, 5.0, eps=5.0)
+    coef = jnp.asarray(np.asarray(A.coef).astype(np.complex64))
+    import dataclasses
+    A = dataclasses.replace(A, coef=coef)
+    rng = np.random.default_rng(0)
+    bm = (rng.standard_normal((N * N, B))
+          + 1j * rng.standard_normal((N * N, B))).astype(np.complex64)
+    bsh = jax.device_put(jnp.asarray(bm),
+                         NamedSharding(mesh, P(None, "sd")))
+    fn = jax.jit(lambda bb: block_cg(A, bb, n_iterations=3).x,
+                 out_shardings=NamedSharding(mesh, P(None, "sd")))
+    txt = fn.lower(bsh).compile().as_text()
+    got = _collective_payloads(txt)
+    moved = {k: v for k, v in got.items() if v}
+    assert not moved, f"batch-sharded CG has collectives: {moved}"
+    assert "all-reduce" not in txt, "unexpected all-reduce"
+
+
 def test_hsolver_sharded_matches_unsharded():
     cfg = HelmholtzConfig(k=5.0, M_subd=8, W_subd=4, OL=1, use_cg=2,
                           cg_max_it=150, tol=1e-6, restart=60,

@@ -642,47 +642,54 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 # (benchmarks/exp_realstream4.py); bit-exact vs v2 at
                 # matched block_rows
                 kq, bv = v4cfg
-                fn = jax.jit(
+                fn_raw = (
                     lambda a, bp, x0p: sr4.stream_cg_v4_real_planes(
                         stencil.offsets, stencil.grid, taps, a, bp,
                         x0p, n_iterations, keep_q=kq, block_rows=bv,
                         interpret=interpret))
             else:
-                fn = jax.jit(lambda a, bp, x0p: sr.stream_cg_real_planes(
-                    stencil.offsets, stencil.grid, taps, a, bp, x0p,
-                    n_iterations, interpret=interpret))
+                fn_raw = (
+                    lambda a, bp, x0p: sr.stream_cg_real_planes(
+                        stencil.offsets, stencil.grid, taps, a, bp,
+                        x0p, n_iterations, interpret=interpret))
         except ValueError:
             op_arg = sr.prepare_stream_coef_real(stencil)
             if v4cfg is not None and v4cfg[0]:
                 _, bv = v4cfg
-                fn = jax.jit(
+                fn_raw = (
                     lambda a, bp, x0p:
                     sr4.stream_cg_v4_real_coef_planes(
                         stencil.offsets, stencil.grid, a, bp, x0p,
                         n_iterations, block_rows=bv,
                         interpret=interpret))
             else:
-                fn = jax.jit(
+                fn_raw = (
                     lambda a, bp, x0p: sr.stream_cg_real_coef_planes(
                         stencil.offsets, stencil.grid, a, bp, x0p,
                         n_iterations, interpret=interpret))
+        fn = jax.jit(fn_raw)
+        from jax import lax as _lax
+        fn_map = jax.jit(lambda a, bps, x0ps: _lax.map(
+            lambda bx: fn_raw(a, bx[0], bx[1]), (bps, x0ps)))
 
         def solve(b, x0):
-            # multi-RHS = sequential single-RHS solves (see the complex
-            # stream path note)
+            # multi-RHS = sequential single-RHS solves inside one
+            # lax.map device program (see the complex stream path note)
             B, squeeze = _norm_b(b, nv, nh)
             X0 = None if x0 is None else _norm_b(x0, nv, nh)[0]
-            xs, hs = [], []
-            for r in range(B.shape[0]):
-                bp = jnp.asarray(B[r].astype(np.float32))
+            if B.shape[0] == 1:
+                bp = jnp.asarray(B[0].astype(np.float32))
                 x0p = (jnp.zeros_like(bp) if X0 is None else
-                       jnp.asarray(X0[r].astype(np.float32)))
+                       jnp.asarray(X0[0].astype(np.float32)))
                 x, hist = fn(op_arg, bp, x0p)
-                xs.append(np.asarray(x))
-                hs.append(np.asarray(hist))
-            if squeeze:
-                return xs[0], hs[0]
-            return np.stack(xs), np.stack(hs, axis=1)
+                if squeeze:
+                    return np.asarray(x), np.asarray(hist)
+                return np.asarray(x)[None], np.asarray(hist)[:, None]
+            bps = jnp.asarray(B.astype(np.float32))
+            x0ps = (jnp.zeros_like(bps) if X0 is None else
+                    jnp.asarray(X0.astype(np.float32)))
+            xs, hs = fn_map(op_arg, bps, x0ps)
+            return np.asarray(xs), np.asarray(hs).T
         # device-resident surface: real planes are (Nv, Nh) f32
         solve._planes = lambda bp, x0p: fn(op_arg, bp, x0p)
         return solve
