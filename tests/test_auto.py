@@ -73,7 +73,7 @@ def test_v4_config_fit_rules():
     to ~1536^2, x/r/d + recomputed q at 2048^2 (const only, Bv capped
     at 64 -- Bv=128's pipeline buffers overflow), nothing at 4096^2."""
     from tpcg.ops.auto import _v4_config
-    assert _v4_config(1024, 1024, coef=False) == (True, 256)
+    assert _v4_config(1024, 1024, coef=False) == (True, 512)
     assert _v4_config(1024, 1024, coef=True) == (True, 128)
     # keep_q scratch grows with the grid, so the window budget shrinks
     # the viable block size (Bv=256 fails to compile at 1536)
@@ -99,7 +99,8 @@ def test_v4_sym_config_fit_rules():
 
 def test_v4_real_config_fit_rules():
     from tpcg.ops.auto import _v4_real_config
-    assert _v4_real_config(1024, 1024) == (True, 256)
+    assert _v4_real_config(1024, 1024) == (True, 512)
+    # Bv=512 windows overflow next to the 67 MB keep_q scratch at 2048
     assert _v4_real_config(2048, 2048) == (True, 256)
     assert _v4_real_config(2896, 2896) == (False, 16)
     assert _v4_real_config(4096, 4096) is None

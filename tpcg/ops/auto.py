@@ -102,7 +102,7 @@ def _pick_bv_budget(nv, nh, scratch_bytes, win_per_bvnh, cap):
     fails at ~130; N=1536 keep_q Bv=256 fails at ~119, Bv=128 fits)."""
     from .stream_cg import _pick_block_rows
     budget = 117e6
-    cands = {c for c in (256, 128, 64, 32, 16, 8) if c <= cap}
+    cands = {c for c in (512, 256, 128, 64, 32, 16, 8) if c <= cap}
     b = _pick_block_rows(nv)
     if b <= cap:
         cands.add(b)
@@ -137,7 +137,7 @@ def _v4_config(nv, nh, coef):
     # coefficient block windows.  coef caps at 128 because Bv=256
     # measured slightly SLOWER (exp_stream4b.py), not for fit.
     bv = _pick_bv_budget(nv, nh, scratch, 250 if coef else 110,
-                         cap=128 if coef else 256)
+                         cap=128 if coef else 512)
     return (keep_q, bv) if bv is not None else None
 
 
@@ -175,7 +175,7 @@ def _v4_real_config(nv, nh):
     if not keep_q and 3 * nodes * 4 > _RESIDENT_BYTES:
         return None
     scratch = (4 if keep_q else 3) * nodes * 4
-    bv = _pick_bv_budget(nv, nh, scratch, 60, cap=256)
+    bv = _pick_bv_budget(nv, nh, scratch, 60, cap=512)
     return (keep_q, bv) if bv is not None else None
 
 
