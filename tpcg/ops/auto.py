@@ -22,16 +22,20 @@ different regime on TPU:
                sequential v4 solves where v4 fits (faster per RHS than
                any batched kernel), else the (G, nb)-grid batched
                kernels.
-  stream-coef: same two-kernel iteration with per-node coefficient
-               planes streamed alongside the state -- variable
-               coefficients beyond VMEM.  Multi-RHS batches share one
-               coefficient fetch per row block (per-RHS traffic
-               10 + 2*noff/nb planes -- the reference's block-CG
-               amortization, report Fig. 6).
-  stream-real: single-plane streaming iteration for REAL stencils
-               (``stream_cg_real``).  Only picked for very large grids
-               (>= _REAL_STREAM_NODES): the XLA shift-multiply path is
-               already near-roofline for real systems up to N~1024.
+  stream-coef: variable coefficients beyond VMEM.  Symmetric operators
+               (everything CG is defined for) stream only the half
+               coefficient planes through the resident v4-sym kernel
+               (1064/585 GFLOPS at N=1024/2048); non-symmetric
+               stencils fall back to per-plane v4/v3/v2 streaming.
+               Multi-RHS runs as one lax.map program of resident
+               solves where v4 fits, else the fat batched kernel
+               shares one coefficient fetch per row block (the
+               reference's block-CG amortization, report Fig. 6).
+  stream-real: single-plane kernels for REAL stencils from N >= 1024
+               (below that the XLA shift-multiply path is already
+               near-roofline): the resident v4 tier where it fits
+               (930 GFLOPS at N=2048 chained, 3.4x the v2 pipeline),
+               v2 streaming beyond.
   xla        : pure-XLA shift-multiply streaming (``block_cg_planes`` /
                ``block_cg``) -- anything else, any backend; also the
                parity oracle for the Pallas paths.
