@@ -67,6 +67,26 @@ def test_stream_v4_coef_bit_matches_v2(chunk):
     np.testing.assert_array_equal(np.asarray(h4), np.asarray(h2))
 
 
+@pytest.mark.parametrize("iters", [1, 2])
+def test_stream_v4_single_iteration(iters):
+    """K=1 chunks make it==0 and it==K-1 coincide -- the state-load and
+    output-emit paths overlap in one grid sweep; must still bit-match
+    v2."""
+    N, k = 64, 9.0
+    A = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    taps, strips2 = prepare_stream(A)
+    bp = _planes(b)
+    x0p = jnp.zeros_like(bp)
+    x2, h2 = stream_cg_const_planes(A.offsets, A.grid, taps, strips2,
+                                    bp, x0p, iters, interpret=True)
+    x4, h4 = stream_cg_v4_const_planes(A.offsets, A.grid, taps, strips2,
+                                       bp, x0p, iters, chunk=1,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(x4), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(h4), np.asarray(h2))
+
+
 def test_stream_v4_odd_grid_height():
     """Odd grid heights (the distributed solver's N = (W-1)*M + 1
     family) stream in divisor row blocks (Bv=13 at N=65) -- the
