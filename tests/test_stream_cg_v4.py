@@ -106,6 +106,65 @@ def test_stream_v4_odd_grid_height():
     np.testing.assert_array_equal(np.asarray(h4), np.asarray(h2))
 
 
+def test_stream_v4_q_hbm_matches_recompute():
+    """The q_hbm tier (explicit DMA round-trip of q through an HBM
+    buffer instead of the phase-1 recompute) performs identical
+    elementwise arithmetic: x and r after one iteration are bit-equal
+    to the recompute tier (histories differ only by interpret-mode XLA
+    reduction reassociation; on hardware they are bit-exact -- measured
+    max rel 0.0 over 120 iterations at N=2048)."""
+    from tpcg.ops.stream_cg_v4 import _build_resident
+    from tpcg.ops.fused_cg import _pad_for
+    from tpcg.ops.stream_cg import _boundary
+    N, k = 64, 9.0
+    A = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    taps, strips2 = prepare_stream(A)
+    bp = _planes(b)
+    Bv = 32
+    G, P = N // Bv, _pad_for(A.offsets)
+    zero2 = jnp.zeros((2, 1), jnp.float32)
+    zeros_v = jnp.zeros((2, N, N), jnp.float32)
+    zeros_s = jnp.zeros((2, G, 2 * P, N), jnp.float32)
+    r0 = bp
+    delta0 = jnp.stack([jnp.sum(r0[0] ** 2 - r0[1] ** 2),
+                        2.0 * jnp.sum(r0[0] * r0[1])]).reshape(2, 1)
+    Sr0 = _boundary(r0, G, Bv, P, N)
+    outs = {}
+    for name, qh in (("rec", False), ("hbm", True)):
+        step = _build_resident(A.offsets, A.grid, Bv, 1, False, True,
+                               taps=taps, q_hbm=qh)
+        ret = step(strips2, zero2, delta0, zeros_v, r0, zeros_v, Sr0,
+                   zeros_s)
+        outs[name] = [np.asarray(a) for a in ret[:3]]
+    for i, nm in enumerate(["x", "r", "dnew"]):
+        np.testing.assert_array_equal(outs["hbm"][i], outs["rec"][i],
+                                      err_msg=nm)
+
+
+def test_stream_v4_q_hbm_oracle():
+    """Full q_hbm solves (chunked and not) against the XLA oracle."""
+    from tpcg.ops.cplx import block_cg_planes, make_pair_operator
+    N, iters, k = 64, 25, 9.0
+    A = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k)
+    taps, strips2 = prepare_stream(A)
+    bp = _planes(b)
+    x0p = jnp.zeros_like(bp)
+    n = N * N
+    P = make_pair_operator(A, dtype=jnp.float32)
+    b2 = jnp.asarray(np.stack([b.real, b.imag]).reshape(2, n)[:, :, None]
+                     .astype(np.float32))
+    hs = np.asarray(block_cg_planes(P, b2, n_iterations=iters)
+                    .residual_history)[:, 0]
+    for chunk in (64, 7):
+        x, hist = stream_cg_v4_const_planes(
+            A.offsets, A.grid, taps, strips2, bp, x0p, iters,
+            keep_q=False, q_hbm=True, chunk=chunk, interpret=True)
+        rel = np.abs(np.asarray(hist) - hs) / (np.abs(hs) + 1e-30)
+        assert rel.max() < 5e-3, (chunk, rel.max())
+
+
 def test_stream_v4_budget_guards():
     """Public entry points reject grids beyond the resident VMEM
     budget with a clear error instead of a compiler blowup."""

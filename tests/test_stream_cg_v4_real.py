@@ -53,6 +53,22 @@ def test_stream_v4_real_coef_bit_matches_v2(chunk):
     np.testing.assert_array_equal(np.asarray(h4), np.asarray(h2))
 
 
+def test_stream_v4_real_q_hbm_oracle():
+    """Real q_hbm tier (explicit-DMA q round-trip) solves correctly
+    through the exact scipy operator (elementwise arithmetic identical
+    to the recompute tier; histories differ only by interpret-mode
+    reduction reassociation -- bit-exact on HW)."""
+    N, iters = 64, 250
+    A, bp, x0p = _problem(N)
+    x, hist = stream_cg_v4_real_planes(
+        A.offsets, A.grid, *prepare_stream_real(A), bp, x0p, iters,
+        keep_q=False, q_hbm=True, interpret=True)
+    S = A.to_scipy().tocsr()
+    r = np.linalg.norm(S @ np.asarray(x).reshape(-1)
+                       - np.asarray(bp).reshape(-1))
+    assert r < 1e-3 * np.linalg.norm(np.asarray(bp)), r
+
+
 def test_stream_v4_real_oracle():
     """Solution correctness through the exact scipy operator."""
     N, iters = 64, 250

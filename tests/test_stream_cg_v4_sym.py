@@ -102,6 +102,25 @@ def test_sym_tiers_and_chunks_bit_match():
         np.testing.assert_array_equal(np.asarray(hb), np.asarray(ha))
 
 
+def test_sym_q_hbm_matches_oracle():
+    """The sym q_hbm tier (explicit-DMA q round-trip, coefficient
+    planes fetched only in phase 0) against the XLA oracle; elementwise
+    x is bit-equal to the recompute tier after one chunk (histories
+    differ only by interpret-mode reduction reassociation; bit-exact on
+    HW, see stream_cg_v4 notes)."""
+    N, iters = 64, 25
+    A, b = _var_problem(N)
+    half, cplanes = prepare_stream_sym(A)
+    bp = jnp.asarray(np.stack([b.real, b.imag]).astype(np.float32))
+    x0p = jnp.zeros_like(bp)
+    x, hist = stream_cg_v4_sym_planes(A.offsets, A.grid, half, cplanes,
+                                      bp, x0p, iters, keep_q=False,
+                                      q_hbm=True, interpret=True)
+    hs = _oracle_hist(A, b, iters)
+    rel = np.abs(np.asarray(hist) - hs) / (np.abs(hs) + 1e-30)
+    assert rel.max() < 5e-3, rel.max()
+
+
 def test_sym_const_problem_also_works():
     """helm_fe (constant coefficients) is symmetric too -- the sym path
     must solve it correctly (planner prefers const taps there, but the

@@ -470,11 +470,15 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 # multi-RHS loops fn instead of fnb.
                 from .stream_cg_v4 import stream_cg_v4_const_planes
                 kq, bv = v4cfg
+                # where q cannot stay resident, round-trip it through
+                # HBM with explicit DMA instead of recomputing: 488 ->
+                # 308 us/it at N=2048 (1307 GFLOPS), bit-exact on HW
+                # (benchmarks/exp_qhbm notes in NOTES_R3)
                 fn_raw = (
                     lambda s2, bp, x0p: stream_cg_v4_const_planes(
                         stencil.offsets, stencil.grid, taps, s2, bp,
-                        x0p, n_iterations, keep_q=kq, block_rows=bv,
-                        interpret=interpret))
+                        x0p, n_iterations, keep_q=kq, q_hbm=not kq,
+                        block_rows=bv, interpret=interpret))
                 fn = jax.jit(fn_raw)
                 seq_multi = True
             elif v3cfg is not None:
@@ -526,11 +530,15 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 kq, bv = symcfg
                 # cplanes ride as a jit ARGUMENT (closure constants of
                 # this size blow up the remote compile request)
+                # keep_q=False tier: explicit-DMA q round-trip (and no
+                # phase-1 coefficient re-fetch) -- 688 -> 433 us/it at
+                # N=2048 (930 GFLOPS), bit-exact on HW
                 fn_raw = (
                     lambda cp, bp, x0p: stream_cg_v4_sym_planes(
                         stencil.offsets, stencil.grid, half_offs,
                         cp, bp, x0p, n_iterations, keep_q=kq,
-                        block_rows=bv, interpret=interpret))
+                        q_hbm=not kq, block_rows=bv,
+                        interpret=interpret))
                 fn_sym = jax.jit(fn_raw)
                 fn = lambda _s2, bp, x0p: fn_sym(cplanes, bp, x0p)
                 seq_op = cplanes
@@ -646,11 +654,16 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 # (benchmarks/exp_realstream4.py); bit-exact vs v2 at
                 # matched block_rows
                 kq, bv = v4cfg
+                # NB: real q_hbm is NOT dispatched -- at the only size
+                # class that would use it (2896-style recompute tier,
+                # lane dim not a 128 multiple) the DMA slices fail the
+                # remote Mosaic compile (reproduced twice); recompute
+                # stays the real keep_q=False tier
                 fn_raw = (
                     lambda a, bp, x0p: sr4.stream_cg_v4_real_planes(
                         stencil.offsets, stencil.grid, taps, a, bp,
-                        x0p, n_iterations, keep_q=kq, block_rows=bv,
-                        interpret=interpret))
+                        x0p, n_iterations, keep_q=kq,
+                        block_rows=bv, interpret=interpret))
             else:
                 fn_raw = (
                     lambda a, bp, x0p: sr.stream_cg_real_planes(

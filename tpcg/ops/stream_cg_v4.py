@@ -70,7 +70,8 @@ def _chunks(n, cap):
     return out or [n]
 
 
-def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None):
+def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None,
+                    q_hbm=False):
     """K-iteration resident kernel.
 
     taps None -> variable-coefficient variant (operand = coef planes,
@@ -78,6 +79,17 @@ def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None):
     strips).  Returned step:
     step(op_arg, beta2, delta2, x, r, d, Sr, Sd) ->
         (xn, rn, dn, beta' (2,1), delta' (2,1), hist (K,1))
+
+    q handling when keep_q does not fit: q_hbm=False recomputes q in
+    phase 1 from the resident dnew (extra stencil apply per iteration);
+    q_hbm=True instead round-trips q through an HBM-space output buffer
+    with EXPLICIT async DMA: phase 0 stores each block's corrected q
+    with a lazily-waited copy-out (the DMA overlaps the next block's
+    direction/halo work), phase 1 double-buffers the copy-ins (block
+    j+1 prefetches while block j is consumed).  Ordering is enforced by
+    DMA semaphores, so the pattern is well-defined and runs under
+    interpret mode, unlike buffer aliasing (whose in-call
+    read-after-write interpret cannot express).
     """
     nv, nh = grid
     P = _pad_for(offsets)
@@ -86,6 +98,7 @@ def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None):
     noff = len(offsets)
     const = taps is not None
     assert const or keep_q, "coef variant requires keep_q"
+    assert not (keep_q and q_hbm)
     if const:
         cr, ci, lcr, lci, rcr, rci = taps
         W = min(nh, 128)
@@ -152,18 +165,37 @@ def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None):
 
     def kernel(*refs):
         beta0_ref, delta0_ref = refs[0:2]
+        nin = 9 if const else 8
         if const:
             sb_ref, st_ref = refs[2:4]
             x_ref, r_ref, d_ref, sr_ref, sd_ref = refs[4:9]
-            outs = refs[9:15]
-            scr = refs[15:]
         else:
             coef_ref = refs[2]
             x_ref, r_ref, d_ref, sr_ref, sd_ref = refs[3:8]
-            outs = refs[8:14]
-            scr = refs[14:]
-        xn_ref, rn_ref, dn_ref, betan_ref, deltan_ref, hist_ref = outs
-        x_scr, r_scr, d_scr, q_scr, dpr, dpi, al, dqa, dda, bd = scr
+        nout = 7 if q_hbm else 6
+        outs = refs[nin:nin + nout]
+        scr = refs[nin + nout:]
+        if q_hbm:
+            (xn_ref, rn_ref, dn_ref, betan_ref, deltan_ref, hist_ref,
+             qo_ref) = outs
+            (x_scr, r_scr, d_scr, q_scr, dpr, dpi, al, dqa, dda, bd,
+             qb, sems) = scr
+        else:
+            xn_ref, rn_ref, dn_ref, betan_ref, deltan_ref, hist_ref = \
+                outs
+            x_scr, r_scr, d_scr, q_scr, dpr, dpi, al, dqa, dda, bd = \
+                scr
+            qo_ref = qb = sems = None
+
+        def q_out_dma(blk):
+            return pltpu.make_async_copy(
+                q_scr, qo_ref.at[:, pl.ds(blk * Bv, Bv), :],
+                sems.at[2])
+
+        def q_in_dma(blk, slot):
+            return pltpu.make_async_copy(
+                qo_ref.at[:, pl.ds(blk * Bv, Bv), :], qb.at[slot],
+                sems.at[slot])
         it = pl.program_id(0)
         ph = pl.program_id(1)
         j = pl.program_id(2)
@@ -358,6 +390,14 @@ def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None):
                 dn_ref[0] = dnr
                 dn_ref[1] = dni
 
+            if q_hbm:
+                # the previous block's copy-out overlapped this block's
+                # direction/halo work; reclaim q_scr before emit_q
+                # overwrites it
+                @pl.when(j > 0)
+                def _():
+                    q_out_dma(j - 1).wait()
+
             if const:
                 emit_q()
                 qfr = q_scr[0, qrows(), :]
@@ -366,6 +406,8 @@ def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None):
                 cb = ([coef_ref[0, s] for s in range(noff)],
                       [coef_ref[1, s] for s in range(noff)])
                 qfr, qfi = emit_q(coef_blocks=cb)
+            if q_hbm:
+                q_out_dma(j).start()
             dqa[0, 0] += jnp.sum(dnr * qfr - dni * qfi)
             dqa[1, 0] += jnp.sum(dnr * qfi + dni * qfr)
 
@@ -398,6 +440,23 @@ def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None):
             if keep_q:
                 qr = q_scr[0, pl.ds(j * Bv, Bv), :]
                 qi = q_scr[1, pl.ds(j * Bv, Bv), :]
+            elif q_hbm:
+                # double-buffered copy-ins: block j+1 prefetches while
+                # block j is consumed
+                slot = j % 2
+
+                @pl.when(j == 0)
+                def _():
+                    q_out_dma(G - 1).wait()     # final phase-0 copy-out
+                    q_in_dma(0, 0).start()
+
+                @pl.when(j + 1 < G)
+                def _():
+                    q_in_dma(j + 1, (j + 1) % 2).start()
+
+                q_in_dma(j, slot).wait()
+                qr = qb[slot, 0]
+                qi = qb[slot, 1]
             else:
                 # recompute q from the resident dnew (all blocks now
                 # hold this iteration's values); bit-identical to the
@@ -480,27 +539,38 @@ def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None):
                pltpu.SMEM((2, 1), _F),                        # <d,q> acc
                pltpu.SMEM((2, 1), _F),                        # <r,r> acc
                pltpu.SMEM((4, 1), _F)]                        # beta,delta
+    if q_hbm:
+        scratch += [pltpu.VMEM((2, 2, Bv, nh), _F),   # copy-in buffers
+                    pltpu.SemaphoreType.DMA((3,))]    # in x2 + out
+
+    in_specs = ([smem_in, smem_in] + op_specs
+                + [x_in, r_in, d_in, s_p1, s_p1])
+    out_specs = [x_out, r_out, d_out, smem_out((2, 1)),
+                 smem_out((2, 1)), smem_out((K, 1))]
+    out_shape = [jax.ShapeDtypeStruct((2, nv, nh), _F),
+                 jax.ShapeDtypeStruct((2, nv, nh), _F),
+                 jax.ShapeDtypeStruct((2, nv, nh), _F),
+                 jax.ShapeDtypeStruct((2, 1), _F),
+                 jax.ShapeDtypeStruct((2, 1), _F),
+                 jax.ShapeDtypeStruct((K, 1), _F)]
+    if q_hbm:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((2, nv, nh), _F))
 
     def step(op_arg, beta2, delta2, x, r, d, Sr, Sd):
         ops = list(op_arg) if const else [op_arg]
-        return pl.pallas_call(
+        ret = pl.pallas_call(
             kernel,
             grid=(K, 2, G),
-            in_specs=[smem_in, smem_in] + op_specs
-            + [x_in, r_in, d_in, s_p1, s_p1],
-            out_specs=(x_out, r_out, d_out, smem_out((2, 1)),
-                       smem_out((2, 1)), smem_out((K, 1))),
-            out_shape=(jax.ShapeDtypeStruct((2, nv, nh), _F),
-                       jax.ShapeDtypeStruct((2, nv, nh), _F),
-                       jax.ShapeDtypeStruct((2, nv, nh), _F),
-                       jax.ShapeDtypeStruct((2, 1), _F),
-                       jax.ShapeDtypeStruct((2, 1), _F),
-                       jax.ShapeDtypeStruct((K, 1), _F)),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024),
             interpret=interpret,
         )(beta2, delta2, *ops, x, r, d, Sr, Sd)
+        return ret[:6] if q_hbm else ret   # drop the q scratch output
 
     return step
 
@@ -539,12 +609,15 @@ def _v4_loop(get_step, init_k1, op_init, op_arg, bp, x0p, n_iterations,
 
 def stream_cg_v4_const_planes(offsets, grid, taps, strips2, bp, x0p,
                               n_iterations: int, block_rows: int = None,
-                              keep_q: bool = None, chunk: int = _CHUNK,
+                              keep_q: bool = None, q_hbm: bool = False,
+                              chunk: int = _CHUNK,
                               interpret: bool = False):
     """VMEM-resident constant-tap streaming CG (single RHS).
 
     Same contract as ``stream_cg_const_planes``; ``keep_q`` defaults by
-    the VMEM budget (see module docstring).
+    the VMEM budget (see module docstring).  ``q_hbm`` (only with
+    keep_q=False) round-trips q through an aliased HBM buffer instead
+    of recomputing it in phase 1.
     """
     nv, nh = grid
     P = _pad_for(offsets)
@@ -553,6 +626,8 @@ def stream_cg_v4_const_planes(offsets, grid, taps, strips2, bp, x0p,
     G = nv // Bv
     if keep_q is None:
         keep_q = 8 * nv * nh * 4 <= _KEEPQ_BYTES
+    if keep_q:
+        q_hbm = False
     if not keep_q and 6 * nv * nh * 4 > _RESIDENT_BYTES:
         raise ValueError(
             f"grid {grid} exceeds the v4 resident VMEM budget; use the "
@@ -565,7 +640,8 @@ def stream_cg_v4_const_planes(offsets, grid, taps, strips2, bp, x0p,
     def get_step(K):
         if K not in steps:
             steps[K] = _build_resident(offsets, grid, Bv, K, keep_q,
-                                       interpret, taps=taps)
+                                       interpret, taps=taps,
+                                       q_hbm=q_hbm)
         return steps[K]
 
     return _v4_loop(get_step, init_k1, strips2, strips2, bp, x0p,

@@ -35,10 +35,12 @@ _F = jnp.float32
 
 
 def _build_resident_real(offsets, grid, Bv, K, keep_q, interpret,
-                         taps=None):
+                         taps=None, q_hbm=False):
     """K-iteration resident real kernel (taps None -> coef variant,
     requires keep_q).  step(op_arg, beta1, delta1, x, r, d, Sr, Sd) ->
-    (xn, rn, dn, beta' (1,1), delta' (1,1), hist (K,1))."""
+    (xn, rn, dn, beta' (1,1), delta' (1,1), hist (K,1)).
+    q_hbm (keep_q=False only): explicit-DMA q round-trip through an
+    HBM buffer instead of the phase-1 recompute (see stream_cg_v4)."""
     nv, nh = grid
     P = _pad_for(offsets)
     assert nv % Bv == 0, (nv, Bv)
@@ -46,6 +48,7 @@ def _build_resident_real(offsets, grid, Bv, K, keep_q, interpret,
     noff = len(offsets)
     const = taps is not None
     assert const or keep_q, "coef variant requires keep_q"
+    assert not (keep_q and q_hbm)
     if const:
         c, lc, rc = taps
         W = min(nh, 128)
@@ -96,18 +99,35 @@ def _build_resident_real(offsets, grid, Bv, K, keep_q, interpret,
 
     def kernel(*refs):
         beta0_ref, delta0_ref = refs[0:2]
+        nin = 9 if const else 8
         if const:
             sb_ref, st_ref = refs[2:4]
             x_ref, r_ref, d_ref, sr_ref, sd_ref = refs[4:9]
-            outs = refs[9:15]
-            scr = refs[15:]
         else:
             coef_ref = refs[2]
             x_ref, r_ref, d_ref, sr_ref, sd_ref = refs[3:8]
-            outs = refs[8:14]
-            scr = refs[14:]
-        xn_ref, rn_ref, dn_ref, betan_ref, deltan_ref, hist_ref = outs
-        x_scr, r_scr, d_scr, q_scr, dp, al, dqa, dda, bd = scr
+        nout = 7 if q_hbm else 6
+        outs = refs[nin:nin + nout]
+        scr = refs[nin + nout:]
+        if q_hbm:
+            (xn_ref, rn_ref, dn_ref, betan_ref, deltan_ref, hist_ref,
+             qo_ref) = outs
+            x_scr, r_scr, d_scr, q_scr, dp, al, dqa, dda, bd, qb, \
+                sems = scr
+        else:
+            (xn_ref, rn_ref, dn_ref, betan_ref, deltan_ref,
+             hist_ref) = outs
+            x_scr, r_scr, d_scr, q_scr, dp, al, dqa, dda, bd = scr
+            qo_ref = qb = sems = None
+
+        def q_out_dma(blk):
+            return pltpu.make_async_copy(
+                q_scr, qo_ref.at[pl.ds(blk * Bv, Bv), :], sems.at[2])
+
+        def q_in_dma(blk, slot):
+            return pltpu.make_async_copy(
+                qo_ref.at[pl.ds(blk * Bv, Bv), :], qb.at[slot],
+                sems.at[slot])
         it = pl.program_id(0)
         ph = pl.program_id(1)
         j = pl.program_id(2)
@@ -211,9 +231,16 @@ def _build_resident_real(offsets, grid, Bv, K, keep_q, interpret,
             def _():
                 dn_ref[...] = dn
 
+            if q_hbm:
+                @pl.when(j > 0)
+                def _():
+                    q_out_dma(j - 1).wait()
+
             # dot form mirrors stream_cg_real exactly: const dots the
             # corrected read-back, coef dots the fused values
             qv = emit_q()
+            if q_hbm:
+                q_out_dma(j).start()
             qf = q_scr[qrows(), :] if const else qv
             dqa[0, 0] += jnp.sum(dn * qf)
 
@@ -234,7 +261,20 @@ def _build_resident_real(offsets, grid, Bv, K, keep_q, interpret,
 
             a = al[0, 0]
             dn = d_scr[pl.ds(j * Bv, Bv), :]
-            if not keep_q:
+            if q_hbm:
+                slot = j % 2
+
+                @pl.when(j == 0)
+                def _():
+                    q_out_dma(G - 1).wait()
+                    q_in_dma(0, 0).start()
+
+                @pl.when(j + 1 < G)
+                def _():
+                    q_in_dma(j + 1, (j + 1) % 2).start()
+
+                q_in_dma(j, slot).wait()
+            elif not keep_q:
                 to = jnp.maximum(j * Bv - P, 0)
                 bo = jnp.minimum((j + 1) * Bv, nv - P)
                 dp[0:P, P:P + nh] = jnp.where(
@@ -243,7 +283,7 @@ def _build_resident_real(offsets, grid, Bv, K, keep_q, interpret,
                 dp[P + Bv:2 * P + Bv, P:P + nh] = jnp.where(
                     j < G - 1, d_scr[pl.ds(bo, P), :], 0.0)
                 emit_q()
-            q = q_scr[qrows(), :]
+            q = qb[slot] if q_hbm else q_scr[qrows(), :]
 
             @pl.when(it == 0)
             def _():
@@ -285,27 +325,35 @@ def _build_resident_real(offsets, grid, Bv, K, keep_q, interpret,
                pltpu.SMEM((1, 1), _F),                        # <d,q> acc
                pltpu.SMEM((1, 1), _F),                        # <r,r> acc
                pltpu.SMEM((2, 1), _F)]                        # beta,delta
+    out_specs = [x_out, r_out, d_out, smem_out((1, 1)),
+                 smem_out((1, 1)), smem_out((K, 1))]
+    out_shape = [jax.ShapeDtypeStruct((nv, nh), _F),
+                 jax.ShapeDtypeStruct((nv, nh), _F),
+                 jax.ShapeDtypeStruct((nv, nh), _F),
+                 jax.ShapeDtypeStruct((1, 1), _F),
+                 jax.ShapeDtypeStruct((1, 1), _F),
+                 jax.ShapeDtypeStruct((K, 1), _F)]
+    if q_hbm:
+        scratch = scratch + [pltpu.VMEM((2, Bv, nh), _F),
+                             pltpu.SemaphoreType.DMA((3,))]
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((nv, nh), _F))
 
     def step(op_arg, beta1, delta1, x, r, d, Sr, Sd):
         ops = list(op_arg) if const else [op_arg]
-        return pl.pallas_call(
+        ret = pl.pallas_call(
             kernel,
             grid=(K, 2, G),
             in_specs=[smem_in, smem_in] + op_specs
             + [x_in, r_in, d_in, s_p1, s_p1],
-            out_specs=(x_out, r_out, d_out, smem_out((1, 1)),
-                       smem_out((1, 1)), smem_out((K, 1))),
-            out_shape=(jax.ShapeDtypeStruct((nv, nh), _F),
-                       jax.ShapeDtypeStruct((nv, nh), _F),
-                       jax.ShapeDtypeStruct((nv, nh), _F),
-                       jax.ShapeDtypeStruct((1, 1), _F),
-                       jax.ShapeDtypeStruct((1, 1), _F),
-                       jax.ShapeDtypeStruct((K, 1), _F)),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024),
             interpret=interpret,
         )(beta1, delta1, *ops, x, r, d, Sr, Sd)
+        return ret[:6] if q_hbm else ret
 
     return step
 
@@ -345,10 +393,12 @@ def _fits_keep_q(nv, nh):
 
 def stream_cg_v4_real_planes(offsets, grid, taps, strips2, bp, x0p,
                              n_iterations: int, block_rows: int = None,
-                             keep_q: bool = None, chunk: int = _CHUNK,
+                             keep_q: bool = None, q_hbm: bool = False,
+                             chunk: int = _CHUNK,
                              interpret: bool = False):
     """VMEM-resident const-tap real streaming CG.  Same contract as
-    ``stream_cg_real_planes``."""
+    ``stream_cg_real_planes``; ``q_hbm`` (keep_q=False only) replaces
+    the phase-1 recompute with an explicit-DMA HBM round-trip of q."""
     nv, nh = grid
     P = _pad_for(offsets)
     Bv = block_rows or _pick_block_rows(nv)
@@ -356,6 +406,8 @@ def stream_cg_v4_real_planes(offsets, grid, taps, strips2, bp, x0p,
     G = nv // Bv
     if keep_q is None:
         keep_q = _fits_keep_q(nv, nh)
+    if keep_q:
+        q_hbm = False
     if not keep_q and 3 * nv * nh * 4 > _RESIDENT_BYTES:
         raise ValueError(
             f"grid {grid} exceeds the v4 resident VMEM budget; use "
@@ -367,7 +419,7 @@ def stream_cg_v4_real_planes(offsets, grid, taps, strips2, bp, x0p,
         if K not in steps:
             steps[K] = _build_resident_real(offsets, grid, Bv, K,
                                             keep_q, interpret,
-                                            taps=taps)
+                                            taps=taps, q_hbm=q_hbm)
         return steps[K]
 
     return _v4_loop_real(get_step, init_k1, strips2, strips2, bp, x0p,

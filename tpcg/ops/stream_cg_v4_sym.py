@@ -101,11 +101,17 @@ def _coef_boundary(cplanes, G, Bv, P, nh):
     return v[:, :, :, Bv - P:, :]
 
 
-def _build_resident_sym(half_offsets, grid, Bv, K, keep_q, interpret):
+def _build_resident_sym(half_offsets, grid, Bv, K, keep_q, interpret,
+                        q_hbm=False):
     """K-iteration resident kernel, symmetric coefficient streaming.
 
     step(op_arg=(cplanes, cstrips), beta2, delta2, x, r, d, Sr, Sd) ->
         (xn, rn, dn, beta', delta', hist (K,1))
+    q_hbm (only with keep_q=False): round-trip q through an HBM buffer
+    with explicit DMA instead of recomputing it in phase 1 -- which
+    also removes the phase-1 coefficient re-fetch (per-iteration
+    traffic drops from 2*(nH+1) coefficient planes to (nH+1) + 4 q
+    planes).  See stream_cg_v4._build_resident.
     """
     nv, nh = grid
     offsets_all = (half_offsets
@@ -114,11 +120,12 @@ def _build_resident_sym(half_offsets, grid, Bv, K, keep_q, interpret):
     assert nv % Bv == 0, (nv, Bv)
     G = nv // Bv
     nH1 = len(half_offsets)
+    assert not (keep_q and q_hbm)
 
     smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
     # coefficient blocks: fetched in phase 0 always; in phase 1 too
-    # when q is recomputed there
-    if keep_q:
+    # only when q is recomputed there (neither keep_q nor q_hbm)
+    if keep_q or q_hbm:
         cmap = lambda it, ph, j: (0, 0, jnp.where(ph == 0, j, G - 1), 0)
         smap = lambda it, ph, j: (0, 0,
                                   jnp.where(ph == 0,
@@ -163,14 +170,36 @@ def _build_resident_sym(half_offsets, grid, Bv, K, keep_q, interpret):
         return pl.BlockSpec(shape, lambda it, ph, j: (0, 0),
                             memory_space=pltpu.SMEM)
 
-    def kernel(beta0_ref, delta0_ref, c_ref, cs_ref, x_ref, r_ref,
-               d_ref, sr_ref, sd_ref,
-               xn_ref, rn_ref, dn_ref, betan_ref, deltan_ref, hist_ref,
-               x_scr, r_scr, d_scr, q_scr, dpr, dpi, cpr, cpi,
-               al, dqa, dda, bd):
+    def kernel(*refs):
+        (beta0_ref, delta0_ref, c_ref, cs_ref, x_ref, r_ref,
+         d_ref, sr_ref, sd_ref) = refs[0:9]
+        nout = 7 if q_hbm else 6
+        outs = refs[9:9 + nout]
+        scr = refs[9 + nout:]
+        if q_hbm:
+            (xn_ref, rn_ref, dn_ref, betan_ref, deltan_ref, hist_ref,
+             qo_ref) = outs
+            (x_scr, r_scr, d_scr, q_scr, dpr, dpi, cpr, cpi,
+             al, dqa, dda, bd, qb, sems) = scr
+        else:
+            (xn_ref, rn_ref, dn_ref, betan_ref, deltan_ref,
+             hist_ref) = outs
+            (x_scr, r_scr, d_scr, q_scr, dpr, dpi, cpr, cpi,
+             al, dqa, dda, bd) = scr
+            qo_ref = qb = sems = None
         it = pl.program_id(0)
         ph = pl.program_id(1)
         j = pl.program_id(2)
+
+        def q_out_dma(blk):
+            return pltpu.make_async_copy(
+                q_scr, qo_ref.at[:, pl.ds(blk * Bv, Bv), :],
+                sems.at[2])
+
+        def q_in_dma(blk, slot):
+            return pltpu.make_async_copy(
+                qo_ref.at[:, pl.ds(blk * Bv, Bv), :], qb.at[slot],
+                sems.at[slot])
 
         def qrows():
             return pl.ds(j * Bv, Bv) if keep_q else slice(0, Bv)
@@ -288,8 +317,15 @@ def _build_resident_sym(half_offsets, grid, Bv, K, keep_q, interpret):
                 dn_ref[0] = dnr
                 dn_ref[1] = dni
 
+            if q_hbm:
+                @pl.when(j > 0)
+                def _():
+                    q_out_dma(j - 1).wait()
+
             load_cpad()
             qfr, qfi = emit_q()
+            if q_hbm:
+                q_out_dma(j).start()
             dqa[0, 0] += jnp.sum(dnr * qfr - dni * qfi)
             dqa[1, 0] += jnp.sum(dnr * qfi + dni * qfr)
 
@@ -322,6 +358,21 @@ def _build_resident_sym(half_offsets, grid, Bv, K, keep_q, interpret):
             if keep_q:
                 qr = q_scr[0, pl.ds(j * Bv, Bv), :]
                 qi = q_scr[1, pl.ds(j * Bv, Bv), :]
+            elif q_hbm:
+                slot = j % 2
+
+                @pl.when(j == 0)
+                def _():
+                    q_out_dma(G - 1).wait()
+                    q_in_dma(0, 0).start()
+
+                @pl.when(j + 1 < G)
+                def _():
+                    q_in_dma(j + 1, (j + 1) % 2).start()
+
+                q_in_dma(j, slot).wait()
+                qr = qb[slot, 0]
+                qi = qb[slot, 1]
             else:
                 to = jnp.maximum(j * Bv - P, 0)
                 bo = jnp.minimum((j + 1) * Bv, nv - P)
@@ -404,26 +455,35 @@ def _build_resident_sym(half_offsets, grid, Bv, K, keep_q, interpret):
                pltpu.SMEM((2, 1), _F),                        # <r,r> acc
                pltpu.SMEM((4, 1), _F)]                        # beta,delta
 
+    out_specs = [x_out, r_out, d_out, smem_out((2, 1)),
+                 smem_out((2, 1)), smem_out((K, 1))]
+    out_shape = [jax.ShapeDtypeStruct((2, nv, nh), _F),
+                 jax.ShapeDtypeStruct((2, nv, nh), _F),
+                 jax.ShapeDtypeStruct((2, nv, nh), _F),
+                 jax.ShapeDtypeStruct((2, 1), _F),
+                 jax.ShapeDtypeStruct((2, 1), _F),
+                 jax.ShapeDtypeStruct((K, 1), _F)]
+    if q_hbm:
+        scratch = scratch + [pltpu.VMEM((2, 2, Bv, nh), _F),
+                             pltpu.SemaphoreType.DMA((3,))]
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((2, nv, nh), _F))
+
     def step(op_arg, beta2, delta2, x, r, d, Sr, Sd):
         cplanes, cstrips = op_arg
-        return pl.pallas_call(
+        ret = pl.pallas_call(
             kernel,
             grid=(K, 2, G),
             in_specs=[smem_in, smem_in, c_in, cs_in,
                       x_in, r_in, d_in, s_p1, s_p1],
-            out_specs=(x_out, r_out, d_out, smem_out((2, 1)),
-                       smem_out((2, 1)), smem_out((K, 1))),
-            out_shape=(jax.ShapeDtypeStruct((2, nv, nh), _F),
-                       jax.ShapeDtypeStruct((2, nv, nh), _F),
-                       jax.ShapeDtypeStruct((2, nv, nh), _F),
-                       jax.ShapeDtypeStruct((2, 1), _F),
-                       jax.ShapeDtypeStruct((2, 1), _F),
-                       jax.ShapeDtypeStruct((K, 1), _F)),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024),
             interpret=interpret,
         )(beta2, delta2, cplanes, cstrips, x, r, d, Sr, Sd)
+        return ret[:6] if q_hbm else ret
 
     return step
 
@@ -431,12 +491,14 @@ def _build_resident_sym(half_offsets, grid, Bv, K, keep_q, interpret):
 def stream_cg_v4_sym_planes(offsets, grid, half_offsets, cplanes, bp,
                             x0p, n_iterations: int,
                             block_rows: int = None, keep_q: bool = None,
-                            chunk: int = _CHUNK,
+                            q_hbm: bool = False, chunk: int = _CHUNK,
                             interpret: bool = False):
     """Symmetric-coefficient resident streaming CG (single RHS).
 
     half_offsets, cplanes : from :func:`prepare_stream_sym`.
-    Same returns as ``stream_cg_coef_planes``.
+    Same returns as ``stream_cg_coef_planes``.  ``q_hbm`` (keep_q=False
+    only) replaces the phase-1 recompute (and its coefficient re-fetch)
+    with an explicit-DMA HBM round-trip of q.
     """
     nv, nh = grid
     P = _pad_for(offsets)
@@ -445,6 +507,8 @@ def stream_cg_v4_sym_planes(offsets, grid, half_offsets, cplanes, bp,
     G = nv // Bv
     if keep_q is None:
         keep_q = 8 * nv * nh * 4 <= _KEEPQ_BYTES
+    if keep_q:
+        q_hbm = False
     if not keep_q and 6 * nv * nh * 4 > _RESIDENT_BYTES:
         raise ValueError(
             f"grid {grid} exceeds the v4 resident VMEM budget; use the "
@@ -459,7 +523,8 @@ def stream_cg_v4_sym_planes(offsets, grid, half_offsets, cplanes, bp,
     def get_step(K):
         if K not in steps:
             steps[K] = _build_resident_sym(half_offsets, grid, Bv, K,
-                                           keep_q, interpret)
+                                           keep_q, interpret,
+                                           q_hbm=q_hbm)
         return steps[K]
 
     # init needs the full coefficient planes once; reconstruct them from
