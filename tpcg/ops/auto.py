@@ -16,8 +16,9 @@ different regime on TPU:
                Three tiers, best-fitting picked per grid: the
                VMEM-resident multi-iteration v4 kernel (state in
                scratch across iterations, ~zero steady HBM traffic;
-               1318/827 GFLOPS at N=1024/2048 chained true-device
-               timing, exp_stream4c.py), the merged v3
+               1357/1435/1307 GFLOPS at N=1024/1536/2048 chained
+               true-device timing; the N=2048 tier round-trips q
+               through HBM with explicit DMA), the merged v3
                iteration, the two-kernel v2 pipeline.  Multi-RHS runs
                sequential v4 solves where v4 fits (faster per RHS than
                any batched kernel), else the (G, nb)-grid batched
@@ -25,7 +26,7 @@ different regime on TPU:
   stream-coef: variable coefficients beyond VMEM.  Symmetric operators
                (everything CG is defined for) stream only the half
                coefficient planes through the resident v4-sym kernel
-               (1064/585 GFLOPS at N=1024/2048); non-symmetric
+               (1064/930 GFLOPS at N=1024/2048); non-symmetric
                stencils fall back to per-plane v4/v3/v2 streaming.
                Multi-RHS runs as one lax.map program of resident
                solves where v4 fits, else the fat batched kernel
