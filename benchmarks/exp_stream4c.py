@@ -77,7 +77,8 @@ def main():
         timeit(f"N={N} const v4 kq={int(kq)} Bv={bv:<3}",
                lambda b_, x_, kq=kq, bv=bv: stream_cg_v4_const_planes(
                    A.offsets, A.grid, taps, strips2, b_, x_, iters,
-                   keep_q=kq, block_rows=bv), bp, x0p, iters, flops)
+                   keep_q=kq, q_hbm=not kq, block_rows=bv),
+               bp, x0p, iters, flops)
         rng = np.random.default_rng(0)
         C = 1.0 + 0.5 * rng.random((N - 1, N - 1))
         Av = helm_fe_var(N, k, C, rho=0.1)
@@ -89,7 +90,8 @@ def main():
             timeit(f"N={N} sym   v4 kq={int(kq)} Bv={bv:<3}",
                    lambda b_, x_, kq=kq, bv=bv: stream_cg_v4_sym_planes(
                        Av.offsets, Av.grid, half, cpl, b_, x_, iters,
-                       keep_q=kq, block_rows=bv), bp, x0p, iters, flops)
+                       keep_q=kq, q_hbm=not kq, block_rows=bv),
+                   bp, x0p, iters, flops)
 
     for N in (1024, 2048, 2896):
         iters = 1000 if N <= 2048 else 500
