@@ -478,7 +478,8 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 fn_raw = (
                     lambda s2, bp, x0p: stream_cg_v4_const_planes(
                         stencil.offsets, stencil.grid, taps, s2, bp,
-                        x0p, n_iterations, keep_q=kq, q_hbm=not kq,
+                        x0p, n_iterations, keep_q=kq,
+                        q_hbm=not kq and nh % 128 == 0,
                         block_rows=bv, interpret=interpret))
                 fn = jax.jit(fn_raw)
                 seq_multi = True
@@ -538,7 +539,7 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                     lambda cp, bp, x0p: stream_cg_v4_sym_planes(
                         stencil.offsets, stencil.grid, half_offs,
                         cp, bp, x0p, n_iterations, keep_q=kq,
-                        q_hbm=not kq, block_rows=bv,
+                        q_hbm=not kq and nh % 128 == 0, block_rows=bv,
                         interpret=interpret))
                 fn_sym = jax.jit(fn_raw)
                 fn = lambda _s2, bp, x0p: fn_sym(cplanes, bp, x0p)
@@ -655,15 +656,15 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 # (benchmarks/exp_realstream4.py); bit-exact vs v2 at
                 # matched block_rows
                 kq, bv = v4cfg
-                # NB: real q_hbm is NOT dispatched -- at the only size
-                # class that would use it (2896-style recompute tier,
-                # lane dim not a 128 multiple) the DMA slices fail the
-                # remote Mosaic compile (reproduced twice); recompute
-                # stays the real keep_q=False tier
+                # q_hbm requires 128-aligned lanes: unaligned DMA
+                # slices (e.g. nh=2896) reproducibly fail the remote
+                # Mosaic compile; aligned N=2560 measured 226->174
+                # us/it (754 GFLOPS, 1.30x) over recompute
                 fn_raw = (
                     lambda a, bp, x0p: sr4.stream_cg_v4_real_planes(
                         stencil.offsets, stencil.grid, taps, a, bp,
                         x0p, n_iterations, keep_q=kq,
+                        q_hbm=not kq and nh % 128 == 0,
                         block_rows=bv, interpret=interpret))
             else:
                 fn_raw = (
