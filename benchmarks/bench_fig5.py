@@ -240,9 +240,22 @@ def main():
 
     out = ["# Reference Fig. 5 suite (synthetic analogues, TPU v5e)", "",
            "Reference numbers: report Fig. 5, RTX 2080S, 'this impl' "
-           "series.  Matrices are synthetic stand-ins of the same size "
-           "class / structure (see module docstring); GFLOPS per report "
-           "Table II accounting.", "",
+           "series; GFLOPS per report Table II accounting.", "",
+           "**DISCLAIMER -- these are NOT the reference's actual "
+           "matrices.** The reference benchmarks real SuiteSparse "
+           "files (1138_bus, m_t1, parabolic_fem, mhd1280b; "
+           "`/root/reference/main.c:20-27`, report Table I), which "
+           "cannot be fetched in this zero-egress build environment.  "
+           "Each case below is a SYNTHETIC stand-in matching the "
+           "reference matrix's size, nnz/row profile and structure "
+           "family (see module docstring of bench_fig5.py).  "
+           "Spectra differ, so per-iteration cost and GFLOPS are "
+           "comparable but residual trajectories are not; "
+           "residual-history parity against the NumPy oracle on real "
+           "Matrix Market inputs is pinned separately by "
+           "tests/test_mm_history_parity.py, and `tpcg.cli cg "
+           "<file>.mtx` runs the genuine files whenever they are "
+           "available.", "",
            "| case | n | nnz | time (s) | GFLOPS | ref GFLOPS | speedup |",
            "|---|---|---|---|---|---|---|"]
     for tag, n, nnz, dt, gf, ref in rows:

@@ -242,3 +242,34 @@ def test_prime_grid_pads_to_stream(monkeypatch):
     assert x2.shape == (2, N, N) and h2.shape == (iters + 1, 2)
     # on CPU (no accelerator paths) prime grids still go to xla
     assert plan_stencil_cg(A, 5).path == "xla"
+
+
+def test_forced_xla_path_never_rerouted(monkeypatch):
+    """path='xla' is a documented force (the tests' parity oracle); the
+    pad->stream re-route must only apply to auto-selected plans
+    (regression: a forced-xla plan on an awkward-height grid beyond
+    VMEM silently became a stream plan)."""
+    monkeypatch.setattr(auto, "_VMEM_NODES", 16)
+    A = helm_fe(67, 9.0, eps=9.0)
+    plan = plan_stencil_cg(A, 5, path="xla", interpret=True)
+    assert plan.path == "xla"
+
+
+def test_pad_wrapper_solve_planes_real(monkeypatch):
+    """The pad wrapper's solve_planes must handle rank-2 (Nv, Nh)
+    planes (stream-real), not only rank-3 complex planes (regression:
+    a hardcoded 3-axis pad width raised ValueError)."""
+    import jax.numpy as jnp
+    from tpcg.problems.poisson import poisson
+    monkeypatch.setattr(auto, "_REAL_STREAM_NODES", 16)
+    N, iters = 67, 15                    # 67 prime -> row pad
+    A = poisson(N, dtype=np.float64)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal((N, N)).astype(np.float32)
+    plan = plan_stencil_cg(A, iters, interpret=True)
+    assert plan.path.startswith("pad->stream"), plan.path
+    x_np, h_np = plan.solve(b)
+    xp, hp = plan.solve_planes(jnp.asarray(b))
+    assert xp.shape == (N, N)
+    np.testing.assert_array_equal(np.asarray(xp), np.asarray(x_np))
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(h_np))

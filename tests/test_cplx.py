@@ -109,3 +109,37 @@ def test_block_cg_planes_chunked_matches_monolithic():
                                np.asarray(r1.residual_history),
                                rtol=5e-3)
     assert r2.delta.shape == r1.delta.shape
+
+
+def test_block_cg_planes_chunked_balanced_split(monkeypatch):
+    """b=48 at chunk=32 must run as 24+24, not 32+(16 padded to 32):
+    the greedy split cost a full extra-16-RHS of device work (the
+    BLOCK_RHS.md b=48 dip).  The pad never exceeds nc-1 RHS."""
+    import jax.numpy as jnp
+    import tpcg.ops.cplx as cplx
+    from tpcg.problems import helm_fe, plane_wave_rhs
+
+    N, k, iters = 12, 4.0, 6
+    S = helm_fe(N, k, eps=k)
+    b = plane_wave_rhs(N, k).reshape(-1)
+    P = cplx.make_pair_operator(S, dtype=jnp.float32)
+    widths = []
+    orig = cplx.block_cg_planes
+
+    def spy(A, bc, x0=None, n_iterations=10):
+        widths.append(int(bc.shape[-1]))
+        return orig(A, bc, x0, n_iterations)
+
+    monkeypatch.setattr(cplx, "block_cg_planes", spy)
+    for nb, expect in ((48, 24), (40, 20), (33, 17), (64, 32)):
+        widths.clear()
+        B = np.stack([(r % 7 + 1) * b for r in range(nb)], axis=1)
+        bp = jnp.asarray(np.stack([B.real, B.imag]).astype(np.float32))
+        r = cplx.block_cg_planes_chunked(P, bp, n_iterations=iters,
+                                         chunk=32)
+        assert widths == [expect], (nb, widths)
+        assert r.x.shape[-1] == nb and r.residual_history.shape[-1] == nb
+        r0 = orig(P, bp[..., :1], n_iterations=iters)
+        np.testing.assert_allclose(
+            np.asarray(r.residual_history[:, 0]),
+            np.asarray(r0.residual_history[:, 0]), rtol=5e-3)

@@ -200,10 +200,18 @@ def block_cg_planes_chunked(A, b: jnp.ndarray,
     1305 GFLOPS at b=32 vs 466 at b=64); per-RHS recurrences are
     independent (``clcg.c:317-333``), so chunking restores flat
     per-RHS throughput at any batch.
+
+    Chunks are BALANCED: the batch splits into ``ceil(nrhs/chunk)``
+    equal chunks of ``ceil(nrhs/nc)`` (scan needs uniform shapes), so
+    b=48 runs as 24+24 instead of a greedy 32+16-padded-to-32 -- the
+    greedy split cost b=48 a full extra-16-RHS of work and produced
+    the BLOCK_RHS.md dip (1091 GFLOPS vs 1328 at b=32).
     """
     if b.ndim == 2 or b.shape[-1] <= chunk:
         return block_cg_planes(A, b, x0, n_iterations)
     nrhs = b.shape[-1]
+    nc_bal = -(-nrhs // chunk)
+    chunk = -(-nrhs // nc_bal)
     pad = (-nrhs) % chunk
     if pad:
         zb = jnp.zeros(b.shape[:-1] + (pad,), b.dtype)

@@ -554,7 +554,7 @@ def _build_resident(offsets, grid, Bv, K, keep_q, interpret, taps=None,
                  jax.ShapeDtypeStruct((2, 1), _F),
                  jax.ShapeDtypeStruct((K, 1), _F)]
     if q_hbm:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct((2, nv, nh), _F))
 
     def step(op_arg, beta2, delta2, x, r, d, Sr, Sd):

@@ -466,7 +466,7 @@ def _build_resident_sym(half_offsets, grid, Bv, K, keep_q, interpret,
     if q_hbm:
         scratch = scratch + [pltpu.VMEM((2, 2, Bv, nh), _F),
                              pltpu.SemaphoreType.DMA((3,))]
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct((2, nv, nh), _F))
 
     def step(op_arg, beta2, delta2, x, r, d, Sr, Sd):
