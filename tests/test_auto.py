@@ -88,6 +88,29 @@ def test_v4_config_fit_rules():
     assert kq and 1040 % bv == 0 and bv <= 128
 
 
+def test_v5_config_fit_rules():
+    """The panel-round-trip v5 kernel covers const grids beyond the v4
+    budget: tier A (direction field resident) to ~3600^2, tier B (full
+    round-trip) beyond; 128-aligned lane widths only."""
+    from tpcg.ops.auto import _v5_config
+    # inside the v4 envelope the planner never asks, but the config is
+    # well-defined: d (33.6 MB) easily resident
+    assert _v5_config(2048, 2048) == (True, 128)
+    # the first beyond-v4 aligned sizes: tier A (Bv=128 measured 871
+    # GFLOPS at N=2560; at N=3072 the Bv=128 windows overflow next to
+    # the 75 MB resident field -- Bv=64 measured 827)
+    assert _v5_config(2304, 2304) == (True, 128)
+    assert _v5_config(2560, 2560) == (True, 128)
+    assert _v5_config(3072, 3072) == (True, 64)
+    # one complex field no longer fits: tier B (Bv=64 by MEASUREMENT:
+    # 770.7 GFLOPS vs 528.5 at Bv=128 on N=4096)
+    assert _v5_config(3584, 3584) == (False, 64)
+    assert _v5_config(4096, 4096) == (False, 64)
+    assert _v5_config(8192, 8192) == (False, 64)
+    # DMA lane alignment: unaligned widths are not v5-eligible
+    assert _v5_config(2896, 2896) is None
+
+
 def test_v4_sym_config_fit_rules():
     from tpcg.ops.auto import _v4_sym_config
     assert _v4_sym_config(1024, 1024) == (True, 256)

@@ -184,6 +184,34 @@ def _v4_real_config(nv, nh):
     return (keep_q, bv) if bv is not None else None
 
 
+def _v5_config(nv, nh):
+    """(d_resident, block_rows) for the explicit-DMA panel-round-trip
+    v5 kernel (complex const), or None.
+
+    v5 covers constant-tap grids beyond the v4 resident budget
+    (complex nodes > ~4.2M): tier A keeps the direction field in VMEM
+    scratch (one complex field = 8*nodes bytes, fits to ~3600^2) with
+    x/r panel round-trips (10 state planes/iteration); tier B
+    round-trips everything (16 planes/iteration, any size).  Both
+    need 128-aligned lane widths for the HBM<->VMEM DMAs.
+    """
+    from .stream_cg_v5 import _V5_DRES_BYTES
+    if nh % 128 != 0:
+        return None
+    nodes = nv * nh
+    d_res = 8 * nodes <= _V5_DRES_BYTES      # 2 f32 planes * 4 B/node
+    scratch = 8 * nodes if d_res else 0
+    # panel staging bytes per Bv*nh element, calibrated on the observed
+    # compile envelope: tier A Bv=128 fits at N=2560 (measured 871
+    # GFLOPS) but overflows at N=3072 (Bv=64 = 827).  Tier B caps at
+    # Bv=64 on MEASUREMENT, not fit: N=4096 Bv=64 = 770.7 GFLOPS vs
+    # Bv=128 = 528.5 (smaller panels double-buffer better next to the
+    # five in-flight panel streams).
+    bv = _pick_bv_budget(nv, nh, scratch, 160 if not d_res else 120,
+                         cap=128 if d_res else 64)
+    return (d_res, bv) if bv is not None else None
+
+
 def _v3_config(nv, nh, coef):
     """(keep_r, block_rows) for the merged v3 kernel, or None if its
     VMEM scratch cannot fit and v2 must be used.
@@ -468,8 +496,10 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
             taps, strips2 = (prepared if prepared is not None
                              else prepare_stream(stencil))
             v4cfg = _v4_config(nv, nh, coef=False)
+            v5cfg = _v5_config(nv, nh) if v4cfg is None else None
             v3cfg = (_v3_config(nv, nh, coef=False)
-                     if v4cfg is None and nv * nh >= _V3_NODES else None)
+                     if v4cfg is None and v5cfg is None
+                     and nv * nh >= _V3_NODES else None)
             if v4cfg is not None:
                 # VMEM-resident multi-iteration kernel: zero steady-
                 # state HBM traffic (exp_stream4.py / exp_stream4c.py:
@@ -488,6 +518,21 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                         stencil.offsets, stencil.grid, taps, s2, bp,
                         x0p, n_iterations, keep_q=kq,
                         q_hbm=not kq and nh % 128 == 0,
+                        block_rows=bv, interpret=interpret))
+                fn = jax.jit(fn_raw)
+                seq_multi = True
+            elif v5cfg is not None:
+                # explicit-DMA panel round-trips beyond the v4 budget:
+                # the state planes live in HBM, each phase DMAs row
+                # panels in/out (tier A keeps the direction field
+                # resident -- 10 state planes/iteration; tier B keeps
+                # nothing -- 16).  Bit-exact vs v2 at matched Bv.
+                from .stream_cg_v5 import stream_cg_v5_const_planes
+                dres, bv = v5cfg
+                fn_raw = (
+                    lambda s2, bp, x0p: stream_cg_v5_const_planes(
+                        stencil.offsets, stencil.grid, taps, s2, bp,
+                        x0p, n_iterations, d_resident=dres,
                         block_rows=bv, interpret=interpret))
                 fn = jax.jit(fn_raw)
                 seq_multi = True
