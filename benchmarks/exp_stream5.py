@@ -26,11 +26,13 @@ def main():
     import jax.numpy as jnp
     from jax import lax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    from tpcg.ops.auto import _v5_config
+    from tpcg.ops.auto import _v5_config, _v5_real_config
     from tpcg.ops.stream_cg import (prepare_stream,
                                     stream_cg_const_planes)
     from tpcg.ops.stream_cg_v5 import stream_cg_v5_const_planes
-    from tpcg.problems import helm_fe, plane_wave_rhs
+    from tpcg.ops import stream_cg_real as sr
+    from tpcg.ops.stream_cg_v5_real import stream_cg_v5_real_planes
+    from tpcg.problems import helm_fe, plane_wave_rhs, poisson
 
     R = 4
 
@@ -111,6 +113,34 @@ def main():
                            A.offsets, A.grid, taps, strips2, bp, x_,
                            iters, d_resident=d, qx=q, block_rows=b_),
                        x0p, iters, flops)
+
+    # ---- REAL v5 (previously v2-real at ~180 GFLOPS beyond v4) -------
+    for N, iters in ((3072, 1000), (4096, 500)):
+        Ar = poisson(N, dtype=np.float64)
+        rb = jax.device_put(jnp.asarray(
+            np.random.default_rng(0).standard_normal((N, N))
+            .astype(np.float32)))
+        rx0 = jnp.zeros_like(rb)
+        rtaps, rstrips = sr.prepare_stream_real(Ar)
+        rstrips = jax.device_put(rstrips)
+        n = N * N
+        nnz = int(np.count_nonzero(np.asarray(Ar.coef)))
+        rflops = 2 * nnz + 10 * n
+        cfg = _v5_real_config(N, N)
+        assert cfg is not None, N
+        dres, bv = cfg
+        for qx in (False, True):
+            timeit(f"N={N} real  v5 dres={int(dres)} qx={int(qx)} "
+                   f"Bv={bv:<3}",
+                   lambda x_, d=dres, q=qx, b_=bv:
+                   stream_cg_v5_real_planes(
+                       Ar.offsets, Ar.grid, rtaps, rstrips, rb, x_,
+                       iters, d_resident=d, qx=q, block_rows=b_),
+                   rx0, iters, rflops)
+        timeit(f"N={N} real  v2 (old path)    ",
+               lambda x_: sr.stream_cg_real_planes(
+                   Ar.offsets, Ar.grid, rtaps, rstrips, rb, x_, iters),
+               rx0, iters, rflops)
 
 
 if __name__ == "__main__":

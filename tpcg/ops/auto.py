@@ -212,6 +212,22 @@ def _v5_config(nv, nh):
     return (d_res, bv) if bv is not None else None
 
 
+def _v5_real_config(nv, nh):
+    """(d_resident, block_rows) for the REAL panel-round-trip v5
+    kernel, or None.  Covers const-tap real grids beyond the real v4
+    budget (nodes > ~8.8M): tier A (single-plane direction field
+    resident, 67 MB at 4096^2) to ~5000^2, tier B beyond."""
+    if nh % 128 != 0:
+        return None
+    nodes = nv * nh
+    from .stream_cg_v5_real import _V5R_DRES_BYTES
+    d_res = 4 * nodes <= _V5R_DRES_BYTES     # 1 f32 plane
+    scratch = 4 * nodes if d_res else 0
+    bv = _pick_bv_budget(nv, nh, scratch, 80 if not d_res else 60,
+                         cap=128 if d_res else 64)
+    return (d_res, bv) if bv is not None else None
+
+
 def _v3_config(nv, nh, coef):
     """(keep_r, block_rows) for the merged v3 kernel, or None if its
     VMEM scratch cannot fit and v2 must be used.
@@ -497,9 +513,20 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                              else prepare_stream(stencil))
             v4cfg = _v4_config(nv, nh, coef=False)
             v5cfg = _v5_config(nv, nh) if v4cfg is None else None
+            v5pad = None
+            if v4cfg is None and v5cfg is None and nh % 128 != 0:
+                # lane-unaligned width (the N=2896 class): column-zero
+                # padding to the next 128 multiple keeps the CONST path
+                # (right-edge correction repositioned via cpos + pad
+                # zero-mask) instead of degenerating to v3/v2
+                nh_pad = -(-nh // 128) * 128
+                cfg2 = _v5_config(nv, nh_pad)
+                if cfg2 is not None:
+                    v5pad = cfg2 + (nh_pad,)
             v3cfg = (_v3_config(nv, nh, coef=False)
                      if v4cfg is None and v5cfg is None
-                     and nv * nh >= _V3_NODES else None)
+                     and v5pad is None and nv * nh >= _V3_NODES
+                     else None)
             if v4cfg is not None:
                 # VMEM-resident multi-iteration kernel: zero steady-
                 # state HBM traffic (exp_stream4.py / exp_stream4c.py:
@@ -525,15 +552,38 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 # explicit-DMA panel round-trips beyond the v4 budget:
                 # the state planes live in HBM, each phase DMAs row
                 # panels in/out (tier A keeps the direction field
-                # resident -- 10 state planes/iteration; tier B keeps
-                # nothing -- 16).  Bit-exact vs v2 at matched Bv.
+                # resident; tier B keeps nothing).  qx mode (q through
+                # HBM + deferred x update, ONE apply/iteration) wins at
+                # every measured size and is bit-exact vs v2 on HW:
+                # 945/938/853 GFLOPS at N=2560/3072/4096 vs the v2
+                # fallback's 489/488/494 (benchmarks/exp_stream5.py).
                 from .stream_cg_v5 import stream_cg_v5_const_planes
                 dres, bv = v5cfg
                 fn_raw = (
                     lambda s2, bp, x0p: stream_cg_v5_const_planes(
                         stencil.offsets, stencil.grid, taps, s2, bp,
-                        x0p, n_iterations, d_resident=dres,
+                        x0p, n_iterations, d_resident=dres, qx=True,
                         block_rows=bv, interpret=interpret))
+                fn = jax.jit(fn_raw)
+                seq_multi = True
+            elif v5pad is not None:
+                # column-padded v5 (see above): pads stay exactly zero
+                # by construction, so solutions and histories carry
+                # only reduction-reassociation-level differences
+                from .stream_cg_v5 import (pad_strips,
+                                           stream_cg_v5_const_planes)
+                dres, bv, nh_pad = v5pad
+                strips2 = pad_strips(strips2, nh_pad)
+                padw = ((0, 0), (0, 0), (0, nh_pad - nh))
+
+                def fn_raw(s2, bp, x0p, _d=None):
+                    x, h = stream_cg_v5_const_planes(
+                        stencil.offsets, (nv, nh_pad), taps, s2,
+                        jnp.pad(bp, padw), jnp.pad(x0p, padw),
+                        n_iterations, d_resident=dres, qx=True,
+                        block_rows=bv, cpos=nh - 1,
+                        interpret=interpret)
+                    return x[..., :nh], h
                 fn = jax.jit(fn_raw)
                 seq_multi = True
             elif v3cfg is not None:
@@ -701,9 +751,46 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
         from . import stream_cg_real as sr
         from . import stream_cg_v4_real as sr4
         v4cfg = _v4_real_config(nv, nh)
+        v5cfg = _v5_real_config(nv, nh) if v4cfg is None else None
+        v5pad = None
+        if (nh % 128 != 0 and v5cfg is None
+                and (v4cfg is None or not v4cfg[0])):
+            # unaligned width where v4 cannot keep q resident (its
+            # q_hbm tier is alignment-gated too, so it falls to the
+            # slow recompute tier, e.g. real N=2896 = 321 GFLOPS):
+            # column-pad to the next 128 multiple and run the v5
+            # cpos kernel instead
+            nh_pad = -(-nh // 128) * 128
+            cfg2 = _v5_real_config(nv, nh_pad)
+            if cfg2 is not None:
+                v5pad = cfg2 + (nh_pad,)
         try:
             taps, op_arg = sr.prepare_stream_real(stencil)
-            if v4cfg is not None:
+            if v5pad is not None:
+                from .stream_cg_v5 import pad_strips
+                from .stream_cg_v5_real import stream_cg_v5_real_planes
+                dres, bv, nh_pad = v5pad
+                op_arg = pad_strips(op_arg, nh_pad)
+                rpadw = ((0, 0), (0, nh_pad - nh))
+
+                def fn_raw(a, bp, x0p):
+                    x, h = stream_cg_v5_real_planes(
+                        stencil.offsets, (nv, nh_pad), taps, a,
+                        jnp.pad(bp, rpadw), jnp.pad(x0p, rpadw),
+                        n_iterations, d_resident=dres, block_rows=bv,
+                        cpos=nh - 1, interpret=interpret)
+                    return x[..., :nh], h
+            elif v4cfg is None and v5cfg is not None:
+                # explicit-DMA panel round-trips beyond the v4 budget
+                # (tier A keeps the direction field resident)
+                from .stream_cg_v5_real import stream_cg_v5_real_planes
+                dres, bv = v5cfg
+                fn_raw = (
+                    lambda a, bp, x0p: stream_cg_v5_real_planes(
+                        stencil.offsets, stencil.grid, taps, a, bp,
+                        x0p, n_iterations, d_resident=dres,
+                        block_rows=bv, interpret=interpret))
+            elif v4cfg is not None:
                 # VMEM-resident multi-iteration kernel: 745 GFLOPS at
                 # N=2048 (3.4x v2), 296 at N=2896
                 # (benchmarks/exp_realstream4.py); bit-exact vs v2 at

@@ -75,7 +75,7 @@ _N_SEMS = 22
 
 
 def _build_v5(offsets, grid, taps, Bv, K, d_resident, interpret,
-              qx=False):
+              qx=False, cpos=None):
     """K-iteration panel-round-trip kernel (constant taps).
 
     Returned step matches the v4 contract:
@@ -93,6 +93,15 @@ def _build_v5(offsets, grid, taps, Bv, K, d_resident, interpret,
     planes (tier B) / 14 (tier A).  In qx mode the returned x trails by
     one update; step applies the final ``x += alpha*dnew`` in XLA and
     additionally returns nothing extra (the 6-tuple contract holds).
+
+    cpos: real right-edge column for COLUMN-ZERO-PADDED grids (the DMA
+    lane-alignment fix for widths like 2896): the right-edge tap
+    correction applies at column ``cpos`` (one-hot inside the last
+    128-lane window) instead of nh-1, and q is zero-masked at columns
+    beyond it, so the pad columns stay exactly zero through the whole
+    solve (b/x0 are zero there; every update multiplies or adds
+    zeros).  The strips operand must be zero-padded to the padded
+    width (``pad_strips``).
     """
     nv, nh = grid
     P = _pad_for(offsets)
@@ -105,6 +114,9 @@ def _build_v5(offsets, grid, taps, Bv, K, d_resident, interpret,
     noff = len(offsets)
     cr, ci, lcr, lci, rcr, rci = taps
     W = min(nh, 128)
+    # local position of the right-edge one-hot inside the last W-window
+    cl_ = (cpos if cpos is not None else nh - 1) - (nh - W)
+    assert 0 <= cl_ < W, (cpos, nh, W)
     igroups = {}
     lgroups = {}
     rgroups = {}
@@ -284,7 +296,7 @@ def _build_v5(offsets, grid, taps, Bv, K, d_resident, interpret,
             q_scr[1, 0:Bv, :] = qi
             lanes = lax.broadcasted_iota(jnp.int32, (Bv, W), 1)
             lm = (lanes == 0).astype(_F)
-            rm = (lanes == W - 1).astype(_F)
+            rm = (lanes == cl_).astype(_F)
             alr = jnp.zeros((Bv, W), _F)
             ali = jnp.zeros((Bv, W), _F)
             arr = jnp.zeros((Bv, W), _F)
@@ -345,6 +357,17 @@ def _build_v5(offsets, grid, taps, Bv, K, d_resident, interpret,
                     rti = rti + ar_ * xi_ + ai_ * xr_
                 q_scr[0, Bv - 1:Bv, :] = q_scr[0, Bv - 1:Bv, :] + rtr
                 q_scr[1, Bv - 1:Bv, :] = q_scr[1, Bv - 1:Bv, :] + rti
+
+            if cl_ != W - 1:
+                # column-padded grid: the operator maps pad columns to
+                # exactly 0 (taps shifted in from real columns land
+                # there otherwise), keeping the pads zero through the
+                # whole solve
+                keep = (lanes <= cl_).astype(_F)
+                q_scr[0, 0:Bv, nh - W:nh] = \
+                    q_scr[0, 0:Bv, nh - W:nh] * keep
+                q_scr[1, 0:Bv, nh - W:nh] = \
+                    q_scr[1, 0:Bv, nh - W:nh] * keep
 
         @pl.when((it == 0) & (ph == 0) & (j == 0))
         def _():
@@ -775,10 +798,65 @@ def _build_v5(offsets, grid, taps, Bv, K, d_resident, interpret,
     return step
 
 
+def pad_strips(strips2, nh_pad):
+    """Zero-pad the (.., 1, Nh) boundary-row strips to a padded lane
+    width (column-pad support; the pad columns contribute exactly 0)."""
+    return tuple(jnp.pad(s, ((0, 0),) * (s.ndim - 1)
+                         + ((0, nh_pad - s.shape[-1]),))
+                 for s in strips2)
+
+
+def apply_const_planes_xla(offsets, taps, strips2, xp, cpos=None):
+    """XLA reference application of the const-tap streamed operator on
+    (2, Nv, Nh) planes: interior taps + one-hot left/right edge-tap
+    corrections + bottom/top boundary-row strips (exactly the kernels'
+    emit_q math).  ``cpos`` marks the real right edge of a
+    column-padded grid (pads map to 0).  Serves as the v5 init for
+    padded grids -- no v2 kernel exists at unaligned lane widths -- and
+    as a test oracle for the cpos machinery."""
+    cr, ci, lcr, lci, rcr, rci = taps
+    sb, st = strips2
+    _, nv, nh = xp.shape
+    P = _pad_for(offsets)
+    xr = jnp.pad(xp[0], P)
+    xi = jnp.pad(xp[1], P)
+    qr = jnp.zeros((nv, nh), _F)
+    qi = jnp.zeros((nv, nh), _F)
+    col = jnp.arange(nh)
+    redge = cpos if cpos is not None else nh - 1
+    m0 = (col == 0).astype(_F)[None, :]
+    mr = (col == redge).astype(_F)[None, :]
+    row = jnp.arange(nv)
+    rb = (row == 0).astype(_F)[:, None]
+    rt = (row == nv - 1).astype(_F)[:, None]
+    for s, (dm, dj) in enumerate(offsets):
+        sxr = xr[P + dm:P + dm + nv, P + dj:P + dj + nh]
+        sxi = xi[P + dm:P + dm + nv, P + dj:P + dj + nh]
+        qr = qr + cr[s] * sxr - ci[s] * sxi
+        qi = qi + cr[s] * sxi + ci[s] * sxr
+        qr = qr + (lcr[s] * sxr - lci[s] * sxi) * m0
+        qi = qi + (lcr[s] * sxi + lci[s] * sxr) * m0
+        qr = qr + (rcr[s] * sxr - rci[s] * sxi) * mr
+        qi = qi + (rcr[s] * sxi + rci[s] * sxr) * mr
+        qr = qr + (sb[0, s, 0][None, :] * sxr
+                   - sb[1, s, 0][None, :] * sxi) * rb
+        qi = qi + (sb[0, s, 0][None, :] * sxi
+                   + sb[1, s, 0][None, :] * sxr) * rb
+        qr = qr + (st[0, s, 0][None, :] * sxr
+                   - st[1, s, 0][None, :] * sxi) * rt
+        qi = qi + (st[0, s, 0][None, :] * sxi
+                   + st[1, s, 0][None, :] * sxr) * rt
+    if cpos is not None and cpos != nh - 1:
+        keep = (col <= cpos).astype(_F)[None, :]
+        qr = qr * keep
+        qi = qi * keep
+    return jnp.stack([qr, qi])
+
+
 def stream_cg_v5_const_planes(offsets, grid, taps, strips2, bp, x0p,
                               n_iterations: int, block_rows: int = None,
                               d_resident: bool = None, qx: bool = False,
-                              chunk: int = _CHUNK,
+                              cpos: int = None, chunk: int = _CHUNK,
                               interpret: bool = False):
     """Panel-round-trip constant-tap streaming CG (single RHS).
 
@@ -786,10 +864,14 @@ def stream_cg_v5_const_planes(offsets, grid, taps, strips2, bp, x0p,
     defaults by the VMEM budget (one complex field resident when it
     fits; everything panel-round-tripped otherwise).  ``qx`` selects
     the one-apply variant (q through HBM + deferred x update) over the
-    default two-apply recompute; both are bit-exact vs v2.
+    default two-apply recompute; both are bit-exact vs v2.  ``cpos``
+    marks the real right edge of a column-zero-padded grid (see
+    _build_v5; ``grid``/``bp``/``strips2`` are then the PADDED shapes
+    and the r0 init runs through the XLA apply -- no v2 kernel exists
+    at unaligned widths).
     """
     nv, nh = grid
-    if nh % 128 != 0 and not interpret:
+    if cpos is None and nh % 128 != 0 and not interpret:
         # HBM<->VMEM DMA requires 128-aligned lane widths on hardware
         # (unaligned widths reproducibly fail the Mosaic compile);
         # interpret mode has no such constraint, so tests may use
@@ -803,14 +885,21 @@ def stream_cg_v5_const_planes(offsets, grid, taps, strips2, bp, x0p,
     G = nv // Bv
     if d_resident is None:
         d_resident = 2 * nv * nh * 4 <= _V5_DRES_BYTES
-    init_k1, _ = _build_kernels(offsets, grid, taps, Bv,
-                                interpret=interpret)
+    if cpos is None:
+        init_k1, _ = _build_kernels(offsets, grid, taps, Bv,
+                                    interpret=interpret)
+    else:
+        def init_k1(op, _b2, _o2, x0_, _zv, _Sx, _zs):
+            # column-padded init: q0 = A x0 via the XLA apply (matches
+            # _v4_loop's k1-reuse calling convention)
+            return None, apply_const_planes_xla(offsets, taps, op, x0_,
+                                                cpos), None, None
     steps = {}
 
     def get_step(K):
         if K not in steps:
             steps[K] = _build_v5(offsets, grid, taps, Bv, K, d_resident,
-                                 interpret, qx=qx)
+                                 interpret, qx=qx, cpos=cpos)
         return steps[K]
 
     return _v4_loop(get_step, init_k1, strips2, strips2, bp, x0p,
