@@ -77,6 +77,44 @@ def run(tag, M, n, nnz, iters=200):
     return tag, n, int(nnz), dt, gflops
 
 
+def run_dia_stream(tag, D, n, nnz, iters=200, R=4):
+    """Chained true-device timing for the banded-streaming kernel
+    (single-readback runs pay the ~28 ms tunnel RT per call)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from tpcg.ops.stream_cg_dia import (prepare_dia_stream,
+                                        stream_cg_dia_grid, to_dia_grid)
+    taps, grid, Bv, planes = prepare_dia_stream(D)
+    planes = jax.device_put(planes)
+    bg = jax.device_put(to_dia_grid(jnp.ones((n,), jnp.float32),
+                                    grid[0]))
+
+    def chained(planes, bg):
+        def body(x0c, _):
+            x, hist = stream_cg_dia_grid(taps, grid, Bv, planes, bg,
+                                         x0c, iters)
+            return x0c + (1e-30 * hist[-1]) * jnp.ones_like(x0c), \
+                hist[-1]
+        return lax.scan(body, jnp.zeros_like(bg), None, length=R)[1]
+
+    fn = jax.jit(chained)
+    rn = np.asarray(fn(planes, bg))
+    assert np.all(np.isfinite(rn)), rn
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(planes, bg))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / R
+    gflops = iters * (2 * nnz + 10 * n) / dt / 1e9
+    print(json.dumps({"case": tag, "n": n, "nnz": int(nnz),
+                      "time_s": round(dt, 4),
+                      "gflops": round(gflops, 2),
+                      "chained": R}), flush=True)
+    return tag, n, int(nnz), dt, gflops
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -90,6 +128,10 @@ def main():
     Ab = banded_spd(n, 50)          # 101 diagonals, ~9.9M nnz
     rows.append(run("banded-dia", DiaMatrix.from_scipy(
         Ab.astype(np.float32)), n, Ab.nnz))
+    # banded-streaming kernel: state VMEM-resident, value planes
+    # streamed (tpcg/ops/stream_cg_dia.py)
+    rows.append(run_dia_stream("banded-dia-stream", DiaMatrix.from_scipy(
+        Ab.astype(np.float32)), n, Ab.nnz))
     # node-shuffled banded matrix (what a real Matrix Market file looks
     # like before reordering) -> RCM recovers the band -> DIA
     rng = np.random.default_rng(3)
@@ -100,6 +142,8 @@ def main():
     M_r, perm = to_device_matrix(A_shuf, reorder=True)
     assert perm is not None and isinstance(M_r, DiaMatrix)
     rows.append(run("shuffled-rcm-dia", M_r, n, A_shuf.nnz))
+    rows.append(run_dia_stream("shuffled-rcm-dia-stream", M_r, n,
+                               A_shuf.nnz))
     Ar = random_spd(n, 100)         # ~100/row unstructured
     if "--ell" in sys.argv:         # the old gather path, for comparison
         rows.append(run("random-ell", EllMatrix.from_scipy(
