@@ -114,6 +114,41 @@ def test_hsolver_planes_block_cg():
     assert res.converged
 
 
+def test_schwarz_fused_kernel_matches_xla():
+    """kernel='fused' routes the batched subdomain CG through the
+    Pallas VMEM kernel (interpret on CPU); the preconditioner it
+    produces must match the XLA planes path (same COCG recurrences,
+    f32-drift-level differences only)."""
+    decomp, _, x = setup()
+    part = decomp.part
+    P = local_rect(part.N, k=6.0, eps=6.0, eta=6.0,
+                   Nhoriz=part.sdsz, Nvert=part.sdsz)
+    zp = planes64(x).astype(jnp.float32)
+    px = SchwarzPrec(decomp, P, cg_iterations=120, planes=True)
+    pf = SchwarzPrec(decomp, P, cg_iterations=120, planes=True,
+                     kernel="fused")
+    want = np.asarray(px(zp))
+    got = np.asarray(pf(zp))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4 * scale)
+
+
+def test_hsolver_prec_kernel_fused_e2e():
+    """The full solve with the fused subdomain kernel converges with
+    the same FGMRES iteration count as the XLA path -- the
+    preconditioner quality is identical (reference UseCG variants
+    showed the same invariance, NOTES_R3 iteration table)."""
+    base = dict(k=6.0, M_subd=2, W_subd=8, use_cg=2, cg_max_it=300,
+                tol=1e-6, restart=60, dtype="complex64",
+                use_planes=True, verbose=0)
+    res_x = hsolver(HelmholtzConfig(**base))
+    res_f = hsolver(HelmholtzConfig(prec_kernel="fused", **base))
+    assert res_f.converged
+    assert res_f.iterations == res_x.iterations
+    xf, xx = np.asarray(res_f.x), np.asarray(res_x.x)
+    assert np.abs(xf - xx).max() / np.abs(xx).max() < 1e-3
+
+
 def test_wgmres_planes_matches_complex():
     """Component #29's TPU configuration: ``weighted_gmres`` driven with
     two-plane vectors + the planes reductions/lincomb (as ``hsolver``

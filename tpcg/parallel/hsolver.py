@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..problems.helmholtz import helm_fe, helm_fe_var, local_rect
 from ..problems.poisson import poisson
 from ..problems.rhs import plane_wave_rhs
+from ..sparse import Stencil2D
 from ..utils.config import HelmholtzConfig
 from .fgmres import fgmres
 from .halo import Decomposition
@@ -272,10 +273,19 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
                   5: "numpy", 6: "block_cg"}.get(cfg.use_cg, "block_cg")
         if method == "numpy" and planes:
             method = "block_cg"   # host oracle mode is complex-only
+        # "fused" routes the batched subdomain CG through the Pallas
+        # VMEM kernel (planes path, shared block, single device only --
+        # under a mesh the batch-sharded XLA solve is the collective-
+        # free path, test_batch_sharded_subdomain_cg_has_no_collectives)
+        kern = cfg.prec_kernel
+        if mesh is not None or not planes or not isinstance(
+                P_block, Stencil2D):
+            kern = "xla"
         sp = SchwarzPrec(decomp, P_block, method=method,
                          cg_iterations=cfg.cg_max_it, cg_tol=cfg.cg_tol,
                          restricted=cfg.restricted_as,
-                         averaging=bool(cfg.averaging), planes=planes)
+                         averaging=bool(cfg.averaging), planes=planes,
+                         kernel=kern)
         # the UseCG=5 host-NumPy oracle mode cannot be jitted
         if method == "numpy":
             prec = sp.__call__

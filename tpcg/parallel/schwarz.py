@@ -63,6 +63,7 @@ class SchwarzPrec:
     restricted: bool = True
     averaging: bool = True
     planes: bool = False
+    kernel: str = "xla"   # planes block_cg backend: "xla" | "fused"
     _lu: Optional[tuple] = dataclasses.field(default=None, repr=False)
     _pair: object = dataclasses.field(default=None, repr=False)
 
@@ -97,6 +98,14 @@ class SchwarzPrec:
                 K[n:, n:] = dense.real
                 lu, piv = jsl.lu_factor(jnp.asarray(K))
                 self._lu = (lu, piv)
+            elif self.kernel == "fused":
+                # whole batched subdomain solve in ONE Pallas VMEM
+                # kernel (subdomains = RHS batch, the reference's
+                # UseCG=2 trick, ``p_h-PY_C-CL-multi-GPU.py:1919-1933``,
+                # on the fused-CG kernel instead of an XLA scan);
+                # coefficient planes ride as jit arguments
+                from ..ops.fused_cg import prepare_coef3
+                self._pair = prepare_coef3(self.P)
             else:
                 self._pair = make_pair_operator(self.P, dtype=jnp.float32)
         else:
@@ -174,6 +183,18 @@ class SchwarzPrec:
             stacked = jnp.concatenate([z2[0].T, z2[1].T], axis=0)
             x = jsl.lu_solve(self._lu, stacked)       # (2 n_p, nsubd)
             r = jnp.stack([x[:n_p].T, x[n_p:].T]).reshape(2, M, M, S, S)
+        elif self.kernel == "fused" and isinstance(self.P, Stencil2D):
+            # whole batched solve in one Pallas call (chunked at 16 RHS
+            # like BLOCK_RHS); subdomain grids are VMEM-resident by
+            # construction (sdsz << 512)
+            import jax
+            from ..ops.fused_cg import fused_cg_stencil_chunked
+            zb = z.reshape(2, M * M, S, S)
+            xb, _ = fused_cg_stencil_chunked(
+                self.P.offsets, self._pair, zb, jnp.zeros_like(zb),
+                self.cg_iterations,
+                interpret=jax.default_backend() == "cpu")
+            r = xb.reshape(2, M, M, S, S)
         elif isinstance(self._pair, tuple):
             coef3, offsets = self._pair
             raw = self.decomp.apply_stencil_raw

@@ -28,6 +28,18 @@ class HelmholtzConfig:
     cg_max_it: int = 256             # CGMaxIT (:3607)
     cg_tol: float = 1e-5             # CGtol (:3606) (early-exit modes only)
     eps_prec1: float = -1.0          # ep1; -1 -> epsilon (:3673)
+    prec_kernel: str = "fused"       # subdomain-CG backend for the planes
+    #                                  path: "fused" (whole batched solve
+    #                                  in one Pallas VMEM kernel; measured
+    #                                  faster than the XLA scan at both
+    #                                  reference protocol configs --
+    #                                  4.04 vs 4.70 ms/application at
+    #                                  M=2/W=34, 5.62 vs 5.97 at M=4/W=34,
+    #                                  CGMaxIT=256, chained device timing,
+    #                                  benchmarks/exp_prec_tpu.py) or
+    #                                  "xla" (block_cg_planes scan; always
+    #                                  used under a mesh / non-shared
+    #                                  blocks / complex-dtype paths)
 
     # Krylov (gmres dispatcher, :3294-3338)
     gmres_ver: str = "fgmres"        # GMRES_VER (:3541)
