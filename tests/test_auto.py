@@ -111,6 +111,16 @@ def test_v5_config_fit_rules():
     assert _v5_config(2896, 2896) is None
 
 
+def test_v5_real_config_fit_rules():
+    """Real v5 covers const-tap grids beyond the real v4 budget
+    (nodes > ~8.8M): tier A to ~5000^2, tier B beyond, aligned only."""
+    from tpcg.ops.auto import _v5_real_config
+    assert _v5_real_config(3072, 3072) == (True, 128)
+    assert _v5_real_config(4096, 4096) == (True, 128)
+    assert _v5_real_config(5120, 5120) == (False, 64)
+    assert _v5_real_config(2896, 2896) is None
+
+
 def test_v4_sym_config_fit_rules():
     from tpcg.ops.auto import _v4_sym_config
     assert _v4_sym_config(1024, 1024) == (True, 256)

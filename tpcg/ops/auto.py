@@ -13,16 +13,20 @@ different regime on TPU:
                compile-time scalars (``fused_cg_const``) -- available
                explicitly for constant-interior stencils.
   stream     : constant-coefficient grids beyond VMEM (N >= 1024).
-               Three tiers, best-fitting picked per grid: the
-               VMEM-resident multi-iteration v4 kernel (state in
-               scratch across iterations, ~zero steady HBM traffic;
-               1357/1435/1307 GFLOPS at N=1024/1536/2048 chained
-               true-device timing; the N=2048 tier round-trips q
-               through HBM with explicit DMA), the merged v3
-               iteration, the two-kernel v2 pipeline.  Multi-RHS runs
-               sequential v4 solves where v4 fits (faster per RHS than
-               any batched kernel), else the (G, nb)-grid batched
-               kernels.
+               Tiers, best-fitting picked per grid: the VMEM-resident
+               multi-iteration v4 kernel (state in scratch across
+               iterations, ~zero steady HBM traffic; 1357/1435/1307
+               GFLOPS at N=1024/1536/2048 chained true-device timing),
+               the explicit-DMA panel-round-trip v5 kernel beyond the
+               v4 budget (945/938/853 GFLOPS at N=2560/3072/4096, and
+               793.8 at the column-padded N=2896 -- vs ~430-490 on the
+               old v2 fallback), then the merged v3 iteration and the
+               two-kernel v2 pipeline.  Lane-unaligned widths
+               column-zero-pad to the next 128 multiple, keeping the
+               const-tap path via the repositioned right-edge
+               correction (cpos).  Multi-RHS runs sequential resident
+               solves where those fit (faster per RHS than any batched
+               kernel), else the (G, nb)-grid batched kernels.
   stream-coef: variable coefficients beyond VMEM.  Symmetric operators
                (everything CG is defined for) stream only the half
                coefficient planes through the resident v4-sym kernel
@@ -36,7 +40,14 @@ different regime on TPU:
                (below that the XLA shift-multiply path is already
                near-roofline): the resident v4 tier where it fits
                (930 GFLOPS at N=2048 chained, 3.4x the v2 pipeline),
-               v2 streaming beyond.
+               the panel-round-trip real v5 beyond (495.7/502.9 GFLOPS
+               at N=3072/4096, 2.4x the old v2-real fallback; the
+               direction field stays resident to ~5000^2), v2 beyond
+               that.  Unaligned widths column-pad like the complex
+               path.  General 1-D BANDED matrices (not grid stencils)
+               have their own streaming kernel in stream_cg_dia.py
+               (m_t1-class 192 GFLOPS vs 59 on the XLA
+               shift-multiply).
   xla        : pure-XLA shift-multiply streaming (``block_cg_planes`` /
                ``block_cg``) -- anything else, any backend; also the
                parity oracle for the Pallas paths.
