@@ -62,6 +62,29 @@ def test_routed_matvec_matches_scipy():
                                atol=1e-4 * np.abs(A @ x).max())
 
 
+def test_routed_matvec_multirhs_batches_bitexact():
+    """Multi-RHS goes through the batched (b, rows, C) kernel in blocks
+    of RHS_BATCH; every column must equal the single-RHS kernel result
+    BITWISE (same elementwise op sequence, only broadcast over the
+    batch), including a ragged tail block (6 = 4 + 2) and a block
+    smaller than RHS_BATCH (3)."""
+    from tpcg.ops.route_spmv import RHS_BATCH
+
+    assert RHS_BATCH == 4  # the exp_route2-measured sweet spot
+    A = _random_sym(400, 7, seed=13)
+    R = build_routing_spmv(A)
+    D = DeviceRouted(R, interpret=True)
+    rng = np.random.default_rng(7)
+    for nrhs in (3, 6):
+        X = rng.standard_normal((400, nrhs)).astype(np.float32)
+        Y = np.asarray(D.matvec(jnp.asarray(X)))
+        for r in range(nrhs):
+            yc = np.asarray(D.matvec(jnp.asarray(X[:, r])))
+            np.testing.assert_array_equal(Y[:, r], yc)
+        np.testing.assert_allclose(Y, A @ X, rtol=0,
+                                   atol=1e-4 * np.abs(A @ X).max())
+
+
 def test_block_cg_on_routed_operand_matches_oracle():
     """The gather-free operand drops into the unchanged block_cg host."""
     A = _random_sym(300, 6, seed=4)

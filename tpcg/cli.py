@@ -14,7 +14,11 @@
     persist ``output_{M_s}_{W_s}_{CGMaxIT}.txt``.  Pass a comma list as
     UseCG (e.g. ``0,2,5``) to sweep several variants like
     ``p_h-PY_C-CL.py``'s ``cgs=[0,1,2,5]`` (:3622); failures are recorded
-    as 0 like the reference (:3715-3718).
+    as 0 like the reference (:3715-3718).  ``--multihost`` joins a
+    jax.distributed job (COORDINATOR_ADDRESS / NUM_PROCESSES /
+    PROCESS_ID env) and runs mesh-sharded over every host's devices --
+    the analogue of the reference's ``mpirun`` launch
+    (``p_helmholtz.py:7``; see ``tpcg/parallel/multihost.py``).
 
 ``python -m tpcg.cli route <matrix.mtx> <out.npz>``
     Offline preprocessing for the routing-network SpMV: decompose the
@@ -72,10 +76,18 @@ def run_cg_cli(argv):
 
 
 def run_helmholtz_cli(argv):
+    multihost = "--multihost" in argv
+    argv = [a for a in argv if a != "--multihost"]
     if len(argv) not in (3, 4):
-        print("====> please supply arguments: M_s W_s UseCG [CGMaxIT]",
-              file=sys.stderr)
+        print("====> please supply arguments: M_s W_s UseCG [CGMaxIT] "
+              "[--multihost]", file=sys.stderr)
         return 1
+    if multihost:
+        # The reference launches SPMD via mpirun (p_helmholtz.py:7);
+        # here one process per host joins the jax.distributed job and
+        # every UseCG mode below runs mesh-sharded over all hosts.
+        from .parallel.multihost import initialize_from_env
+        initialize_from_env()
     m_s, w_s = int(argv[0]), int(argv[1])
     cgs = [int(v) for v in argv[2].split(",")]
     cg_max_it = int(argv[3]) if len(argv) == 4 else 256
@@ -118,7 +130,11 @@ def run_helmholtz_cli(argv):
                                   use_cg=cg_mode, cg_max_it=cg_max_it,
                                   fgmres_chunk=chunk, verbose=10)
             counter = Counter(verbose=10)
-            mesh = _mesh_for(m_s) if cg_mode == 6 else None
+            if multihost:
+                from .parallel.multihost import global_mesh
+                mesh = global_mesh(m_subd=m_s)
+            else:
+                mesh = _mesh_for(m_s) if cg_mode == 6 else None
             t1 = time.time()
             res = hsolver(cfg, mesh=mesh, callback=counter)
             t2 = time.time()

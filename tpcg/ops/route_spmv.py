@@ -10,6 +10,10 @@ stay resident.
 Key property used: XOR partners never cross the lane<->sublane boundary,
 so stage stride s < 128 is a pure cyclic lane roll and s >= 128 a pure
 cyclic sublane roll -- each stage is two ``pltpu.roll`` + one select.
+Multi-RHS blocks ride the SAME kernel as (b, rows, 128) batches: the
+mask stream and per-stage unpack amortize across the block (1.62x per
+RHS at b=4 on the m_t1 class, benchmarks/exp_route2.py -- the kernel is
+VPU-data-movement-bound, so batching is the lever, not fewer selects).
 
 Masks are bit-packed 32 stages x 1 bit per int32 word (int8 arrays
 crash this image's Mosaic compiler -- benchmarks/exp_bisect.py -- and
@@ -35,6 +39,11 @@ C = 128          # lane width
 
 
 STAGES_PER_WORD = 32     # 1 bit per stage in an int32
+
+RHS_BATCH = 4    # RHS columns carried per kernel pass (exp_route2: the
+                 # mask stream amortizes ~1.62x per RHS at b=4; larger
+                 # batches grow the resident t/y planes past the sweet
+                 # spot on the m_t1-class grid)
 
 
 def pack_masks(masks: np.ndarray) -> np.ndarray:
@@ -72,67 +81,96 @@ def unpack_masks(packed: np.ndarray, strides) -> np.ndarray:
     return masks
 
 
-def _stage(t, ex, s, rows):
-    """One butterfly stage on the (rows, 128) grid; ex = 1 where the
-    position exchanges with its XOR partner i^s (direction static)."""
-    from jax import lax
+def _stage(t, ex, s, rows, side):
+    """One butterfly stage on the (rows, 128) grid (or a (b, rows, 128)
+    RHS batch); ex = 1 where the position exchanges with its XOR partner
+    i^s.  ``side`` is the static up/dn select mask for this stride,
+    hoisted out of the stage loop (computed once per DISTINCT stride --
+    exp_route2's ``smask`` variant, bit-exact and no slower than
+    recomputing per stage)."""
+    ax0 = t.ndim - 2
     if s < C:
-        up = pltpu.roll(t, C - s, 1)         # up[j] = t[(j + s) mod 128]
-        dn = pltpu.roll(t, s, 1)             # dn[j] = t[j - s]
-        lane = lax.broadcasted_iota(jnp.int32, (rows, C), 1)
-        partner = jnp.where((lane & s) == 0, up, dn)
+        up = pltpu.roll(t, C - s, ax0 + 1)   # up[j] = t[(j + s) mod 128]
+        dn = pltpu.roll(t, s, ax0 + 1)       # dn[j] = t[j - s]
     else:
-        sr = s // C
-        up = pltpu.roll(t, rows - sr, 0)
-        dn = pltpu.roll(t, sr, 0)
-        row = lax.broadcasted_iota(jnp.int32, (rows, C), 0)
-        partner = jnp.where((row & sr) == 0, up, dn)
+        up = pltpu.roll(t, rows - s // C, ax0)
+        dn = pltpu.roll(t, s // C, ax0)
+    if t.ndim == 3:
+        side, ex = side[None], ex[None]
+    partner = jnp.where(side, up, dn)
     return jnp.where(ex == 1, partner, t)
 
 
-def routed_matvec(routed: "DeviceRouted", x: jnp.ndarray,
-                  interpret: bool = False) -> jnp.ndarray:
-    """y = A @ x via the routing network.  x: (m,) float32 (padded)."""
-    masks, vals = routed.masks, routed.vals   # packed int32 / f32
+def _routed_kernel_call(masks, vals, xg, interpret):
+    """Route an (rows, C) grid -- or a (b, rows, C) RHS batch in ONE
+    kernel pass -- through all L layers.  Batching amortizes the mask
+    stream and the per-stage mask unpack across the block: the packed
+    exchange words and the static side masks are read/derived once per
+    stage and broadcast over the batch (measured 1.62x per RHS at b=4,
+    benchmarks/exp_route2.py)."""
+    from jax import lax
     L, W, rows, _ = masks.shape
     strides = benes_strides(rows * C)
-    S = len(strides)
 
     def kernel(x_ref, m_ref, v_ref, y_ref):
         l = pl.program_id(0)
 
         @pl.when(l == 0)
         def _():
-            y_ref[...] = jnp.zeros((rows, C), jnp.float32)
+            y_ref[...] = jnp.zeros(y_ref.shape, jnp.float32)
 
         t = x_ref[...]
+        lane = lax.broadcasted_iota(jnp.int32, (rows, C), 1)
+        row = lax.broadcasted_iota(jnp.int32, (rows, C), 0)
+        side = {s: ((lane & s) == 0 if s < C else (row & (s // C)) == 0)
+                for s in set(strides)}
         for k, s in enumerate(strides):
             word = m_ref[0, k // STAGES_PER_WORD]
             ex = jax.lax.shift_right_logical(
                 word, jnp.int32(k % STAGES_PER_WORD)) & 1
-            t = _stage(t, ex, s, rows)
-        y_ref[...] = y_ref[...] + v_ref[0] * t
+            t = _stage(t, ex, s, rows, side[s])
+        v = v_ref[0] if t.ndim == 2 else v_ref[0][None]
+        y_ref[...] = y_ref[...] + v * t
 
-    xg = x.reshape(rows, C)
-    y = pl.pallas_call(
+    zeros = (0,) * xg.ndim
+    xspec = pl.BlockSpec(xg.shape, lambda l: zeros,
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((rows, C), lambda l: (0, 0),
-                         memory_space=pltpu.VMEM),
+            xspec,
             pl.BlockSpec((1, W, rows, C), lambda l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, C), lambda l: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, C), lambda l: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, C), jnp.float32),
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(xg.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xg, masks, vals)
+
+
+def routed_matvec(routed: "DeviceRouted", x: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """y = A @ x via the routing network.  x: (m,) float32 (padded)."""
+    masks, vals = routed.masks, routed.vals   # packed int32 / f32
+    rows = masks.shape[2]
+    y = _routed_kernel_call(masks, vals, x.reshape(rows, C), interpret)
     return y.reshape(-1)
+
+
+def routed_matvec_block(routed: "DeviceRouted", xb: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """yb = A @ xb for a (b, m) RHS block in one kernel pass."""
+    masks, vals = routed.masks, routed.vals
+    rows = masks.shape[2]
+    b = xb.shape[0]
+    yb = _routed_kernel_call(masks, vals, xb.reshape(b, rows, C),
+                             interpret)
+    return yb.reshape(b, -1)
 
 
 class DeviceRouted:
@@ -178,12 +216,22 @@ class DeviceRouted:
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         squeeze = x.ndim == 1
         xm = x.reshape(self.n, -1)
+        nrhs = xm.shape[1]
+        if nrhs == 1:
+            xp = jnp.zeros(self.m, jnp.float32).at[: self.n].set(xm[:, 0])
+            y = routed_matvec(self, xp,
+                              interpret=self.interpret)[: self.n, None]
+            return y[:, 0] if squeeze else y
+        # Multi-RHS: carry blocks of <= RHS_BATCH columns through one
+        # kernel pass each (masks amortized across the batch).
         cols = []
-        for r in range(xm.shape[1]):
-            xp = jnp.zeros(self.m, jnp.float32).at[: self.n].set(xm[:, r])
-            cols.append(routed_matvec(self, xp,
-                                      interpret=self.interpret)[: self.n])
-        y = jnp.stack(cols, axis=1)
+        for r0 in range(0, nrhs, RHS_BATCH):
+            blk = xm[:, r0:r0 + RHS_BATCH].T            # (b, n)
+            b = blk.shape[0]
+            xp = jnp.zeros((b, self.m), jnp.float32).at[:, : self.n].set(blk)
+            cols.append(routed_matvec_block(
+                self, xp, interpret=self.interpret)[:, : self.n])
+        y = jnp.concatenate(cols, axis=0).T
         return y[:, 0] if squeeze else y
 
     def __matmul__(self, x):
