@@ -45,3 +45,24 @@ def test_plots(tmp_path):
     plot_field(f, "t", path=p1)
     plot_surface3d(f, "t", path=p2)
     assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+def test_gnuplot_splot_script(tmp_path):
+    """The Gnuplot pipe writer's script round-trips the field data and
+    carries the reference plot3d's settings (parametric / data lines /
+    contour base)."""
+    from tpcg.utils.viz import gnuplot_splot
+
+    rng = np.random.default_rng(2)
+    f = rng.standard_normal(49) + 1j * rng.standard_normal(49)
+    p = str(tmp_path / "surf.gp")
+    script = gnuplot_splot(f, "t", script_path=p)
+    assert open(p).read() == script
+    for directive in ("set parametric", "set style data lines",
+                      "set contour base", "splot $grid matrix"):
+        assert directive in script
+    body = script.split("<< EOD\n")[1].split("\nEOD")[0]
+    grid = np.array([[float(v) for v in line.split()]
+                     for line in body.splitlines()])
+    want = (f.real + f.imag).reshape(7, 7) / 2.0
+    np.testing.assert_allclose(grid, want, rtol=1e-6, atol=1e-8)
