@@ -101,6 +101,32 @@ def _solve_planes(A, B, X0, n_iterations, Pop=None):
     return X, np.asarray(res.residual_history)
 
 
+def _solve_real(A, B, X0, n_iterations, on_tpu):
+    """Real solve dispatch.  Banded ``DiaMatrix`` operands on TPU route
+    to the streaming DIA kernel (state VMEM-resident, value diagonals
+    streamed -- ~3.3x the XLA shift-multiply on the reference's
+    m_t1/parabolic_fem classes, benchmarks/GENERAL_SPARSE.md) when the
+    fit rule passes; everything else runs the XLA ``block_cg`` host.
+    Returns ``(X, history)`` as host arrays."""
+    import jax
+    import jax.numpy as jnp
+    from .sparse import DiaMatrix
+    from .ops.stream_cg_dia import dia_stream_fits, stream_cg_dia_block
+
+    if (on_tpu and isinstance(A, DiaMatrix)
+            and np.dtype(A.data.dtype) == np.float32
+            and np.asarray(B).dtype == np.float32
+            and dia_stream_fits(A)):
+        X, history = stream_cg_dia_block(
+            A, B, X0, n_iterations=n_iterations,
+            interpret=jax.devices()[0].platform == "cpu")
+        return np.asarray(X), np.asarray(history)
+    result = block_cg(A, jnp.asarray(B),
+                      jnp.asarray(X0) if X0 is not None else None,
+                      n_iterations=n_iterations)
+    return np.asarray(result.x), np.asarray(result.residual_history)
+
+
 def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
        n_rhs: int = 1, n_iterations: int = 10, is_complex=None,
        record_history: bool = False, routing=None):
@@ -162,12 +188,7 @@ def cg(size: int, non_zeros: int, a_values, b, a_pointers, a_cols, x=None,
             Pop = _routed_planes_op(A, A_sci)
         X, history = _solve_planes(A, B, X0, n_iterations, Pop=Pop)
     else:
-        if X0 is not None:
-            X0 = jnp.asarray(X0)
-        result = block_cg(A, jnp.asarray(B), X0,
-                          n_iterations=n_iterations)
-        X = np.asarray(result.x)
-        history = np.asarray(result.residual_history)
+        X, history = _solve_real(A, B, X0, n_iterations, on_tpu)
     if perm is not None:
         inv = np.empty_like(perm)
         inv[perm] = np.arange(size)
@@ -227,11 +248,7 @@ def cg_matrix(A, b, x=None, n_rhs=None, n_iterations=10,
             X0 = X0.astype(np.complex64) if X0 is not None else None
         X, history = _solve_planes(A, B, X0, n_iterations, Pop=Pop)
     else:
-        result = block_cg(A, jnp.asarray(B),
-                          jnp.asarray(X0) if X0 is not None else None,
-                          n_iterations=n_iterations)
-        X = np.asarray(result.x)
-        history = np.asarray(result.residual_history)
+        X, history = _solve_real(A, B, X0, n_iterations, on_tpu)
     if perm is not None:
         inv = np.empty_like(perm)
         inv[perm] = np.arange(n)

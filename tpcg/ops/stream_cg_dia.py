@@ -10,12 +10,17 @@ m_t1 class, benchmarks/GENERAL_SPARSE.md).
 This kernel maps the 1-D banded operator onto a COLUMN-MAJOR 2-D grid:
 the vector is laid out as ``xg[r, c] = x[c*nv + r]`` over (nv, nh=128)
 -- consecutive 1-D indices run DOWN a column -- so a diagonal offset k
-becomes a pure VERTICAL shift (k, 0) plus one lane-wrap companion
-offset ((k - nv, +1) for k > 0, (k + nv, -1) for k < 0) that carries
-the shift across column boundaries.  Zero-padding the vertical pad
-buffer makes the two taps self-gating: exactly one of them reads
-in-range data for any row, the other reads zeros, so BOTH apply the
-same value plane unconditionally -- no masks, no gathers.
+becomes a single pure VERTICAL shift (k, 0) against a WRAP-FILLED pad
+buffer: the halo rows above/below each column hold the neighbouring
+columns' data (``dpd[Ht*nv + r, c] = x[c*nv + r]`` for r in
+[-Ht*nv, (Ht+1)*nv), built by ``2*Ht`` lane-rolls of the direction
+grid once per iteration), so ``x[i + k]`` is one lane-ALIGNED window
+read for every row.  An earlier formulation applied two taps per
+diagonal (direct + zero-gated lane-wrap companion) against a
+(nh+2)-wide zero pad; that doubled the tap work AND made every window
+load lane-unaligned -- the wrap-fill removes both costs for the price
+of the 2*Ht halo rolls (Ht = ceil(max|k| / nv), 1-3 for the reference
+matrix classes).
 
 The CG state (x/r/d/q, ~0.4 MB per plane at m_t1 size) is fully
 VMEM-resident; only the diagonal VALUE planes stream, once per
@@ -44,6 +49,9 @@ _F = jnp.float32
 _NH = 128
 # iterations per pallas call (bounds SMEM history + grid size)
 _CHUNK = 256
+# VMEM budget for the fit rule (the Mosaic limit is 127 MB; leave
+# headroom for pipeline staging)
+_DIA_VMEM_BYTES = 100 * 1024 * 1024
 
 
 def _chunks(n, cap):
@@ -54,11 +62,11 @@ def _chunks(n, cap):
 
 
 def prepare_dia_stream(dia, block_rows: int = None):
-    """Host-side preprocessing: (offsets2d, grid, Bv, value planes).
+    """Host-side preprocessing: (taps, grid, Bv, value planes).
 
-    offsets2d : static ((dm, dj), value-plane index) pairs -- each
-                diagonal contributes its direct tap and its lane-wrap
-                companion, both indexing the SAME value plane.
+    taps      : static (k, value-plane index) pairs -- one vertical
+                shift per diagonal (applied against the wrap-filled pad
+                grid, see module docstring).
     planes    : (ndiag, nv, nh) f32 -- ``planes[d][r, c] =
                 data[d, c*nv + r]`` (zero beyond n).
     """
@@ -76,17 +84,62 @@ def prepare_dia_stream(dia, block_rows: int = None):
     planes[:, :n] = data[:, :n]
     # column-major regrid: plane[r, c] = flat[c*nv + r]
     planes = planes.reshape(len(offs), _NH, nv).transpose(0, 2, 1)
-    taps = []
-    for d, k in enumerate(offs):
-        # r + k spans [k, k + nv) over a column, crossing at most two
-        # column boundaries w = floor((r+k)/nv) in {k//nv, k//nv + 1};
-        # each becomes one (vertical, lane) tap pair on the SAME value
-        # plane (floor division handles negative k)
-        w0 = k // nv
-        taps.append(((k - w0 * nv, w0), d))
-        if k % nv != 0:
-            taps.append(((k - (w0 + 1) * nv, w0 + 1), d))
-    return tuple(taps), (nv, _NH), Bv, jnp.asarray(planes)
+    taps = tuple((k, d) for d, k in enumerate(offs))
+    return taps, (nv, _NH), Bv, jnp.asarray(planes)
+
+
+def _halo_depth(taps, nv):
+    """Ht = ceil(max|k| / nv): wrap-fill columns needed on each side."""
+    hm = max((abs(k) for k, _ in taps), default=0)
+    return -(-hm // nv)
+
+
+def dia_stream_fits(dia, budget: int = _DIA_VMEM_BYTES) -> bool:
+    """Geometry-only VMEM fit rule for the banded-streaming kernel.
+
+    Footprint: 12 full state planes (4 in / 4 out / 4 scratch), the
+    wrap-filled pad grid, and the double-buffered coefficient block
+    stream.  The reference's largest matrices (m_t1 ~34 MB,
+    parabolic_fem ~35 MB) fit with 3x headroom; million-row wide-band
+    systems fall back to the XLA shift-multiply path.
+    """
+    n, offs = int(dia.n), [int(k) for k in dia.offsets]
+    nv0 = -(-n // _NH)
+    Bv = next((c for c in (256, 128, 64, 32, 16, 8)
+               if -(-nv0 // c) >= 2), 8)
+    nv = max(-(-nv0 // Bv), 2) * Bv
+    ht = -(-max((abs(k) for k in offs), default=0) // nv)
+    plane = nv * _NH * 4
+    need = (12 * plane                      # x/r/d/q in+out+scratch
+            + (2 * ht + 1) * plane + 8 * _NH * 4   # dpd wrap pad
+            + 2 * len(offs) * Bv * _NH * 4)  # coef double-buffer
+    return need <= budget
+
+
+def wrap_pad_grid(xg, ht):
+    """((2*Ht+1)*nv, nh) wrap-filled pad of a column-major grid: row
+    ``Ht*nv + r`` of lane ``c`` holds ``xg[r mod nv, c + r // nv]``
+    (lanes wrap cyclically; the wrapped-over lanes correspond to flat
+    indices outside [0, nv*nh) whose coefficients are zero).  XLA twin
+    of the kernel's in-VMEM halo fill.  Accepts leading batch axes."""
+    parts = [jnp.roll(xg, w, axis=-1) for w in range(ht, 0, -1)]
+    parts.append(xg)
+    parts += [jnp.roll(xg, -w, axis=-1) for w in range(1, ht + 1)]
+    return jnp.concatenate(parts, axis=-2)
+
+
+def dia_apply_grid(taps, grid, planes, xg):
+    """q = A @ x on the column-major grid, XLA formulation (init r0 +
+    oracle twin of the kernel's tap application).  ``xg`` may carry
+    leading batch axes (the value planes broadcast)."""
+    nv, nh = grid
+    ht = _halo_depth(taps, nv)
+    xp = wrap_pad_grid(xg, ht)
+    c0 = ht * nv
+    q = jnp.zeros(xg.shape, _F)
+    for k, d in taps:
+        q = q + planes[d] * xp[..., c0 + k:c0 + k + nv, :]
+    return q
 
 
 def to_dia_grid(x, nv):
@@ -112,18 +165,21 @@ def _build_dia(taps, grid, Bv, K, interpret):
     nv, nh = grid
     assert nv % Bv == 0 and Bv % 8 == 0, (nv, Bv)
     G = nv // Bv
-    # vertical pad, 8-aligned: dynamic sublane slices must be provably
-    # 8-divisible, so window loads use 8-floored bases and the residual
-    # 0..7-row offset becomes a STATIC slice of the loaded value
-    Pv = -(-max(abs(dm) for (dm, _), _ in taps) // 8) * 8
-    Pc = max(abs(dj) for (_, dj), _ in taps)
+    # wrap-filled pad: Ht*nv halo rows each side (8-aligned since nv is
+    # a Bv multiple), holding the +-1..Ht neighbour columns' data; every
+    # tap is then a single lane-aligned vertical window.  Dynamic
+    # sublane slices must be provably 8-divisible, so window loads use
+    # 8-floored bases and the residual 0..7-row offset becomes a STATIC
+    # slice of the loaded value.
+    Ht = _halo_depth(taps, nv)
+    C0 = Ht * nv
     ndiag = 1 + max(d for _, d in taps)
-    # group taps by (8-aligned base, lane shift): one window load per
-    # group, shared by its taps
+    # group taps by 8-aligned base: one window load per group, shared
+    # by its taps
     tgroups = {}
-    for (dm, dj), d in taps:
-        dm8 = (dm // 8) * 8
-        tgroups.setdefault((dm8, dj), []).append((dm - dm8, d))
+    for k, d in taps:
+        k8 = (k // 8) * 8
+        tgroups.setdefault(k8, []).append((k - k8, d))
 
     smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
     coef_spec = pl.BlockSpec((ndiag, Bv, nh),
@@ -151,7 +207,9 @@ def _build_dia(taps, grid, Bv, K, interpret):
             al[1, 0] = 0.0
             bd[0, 0] = beta0_ref[0, 0]
             bd[1, 0] = delta0_ref[0, 0]
-            dpd[...] = jnp.zeros((nv + 2 * Pv + 8, nh + 2 * Pc), _F)
+            # only the +8 window-overhang rows need zeros (every halo
+            # row is rewritten each iteration); zero it all once
+            dpd[...] = jnp.zeros((2 * C0 + nv + 8, nh), _F)
 
         @pl.when(j == 0)
         def _():
@@ -177,15 +235,21 @@ def _build_dia(taps, grid, Bv, K, interpret):
 
             dn = r_scr[...] + bd[0, 0] * d_scr[...]
             d_scr[...] = dn
-            dpd[Pv:Pv + nv, Pc:Pc + nh] = dn
+            # wrap-fill: centre + 2*Ht lane-rolled halo copies (row
+            # C0 + w*nv + r holds column c+w's data, i.e. x[i + w*nv])
+            dpd[C0:C0 + nv, :] = dn
+            for w in range(1, Ht + 1):
+                dpd[C0 + w * nv:C0 + (w + 1) * nv, :] = \
+                    pltpu.roll(dn, nh - w, 1)
+                dpd[C0 - w * nv:C0 - (w - 1) * nv, :] = \
+                    pltpu.roll(dn, w, 1)
 
-        # q rows for this value block: every diagonal applies its
-        # direct vertical tap and its lane-wrap companion; the zero
-        # pad regions of dpd gate which one is live per row
+        # q rows for this value block: one lane-aligned vertical window
+        # per 8-aligned offset group, one FMA per diagonal (wrapped
+        # reads outside the matrix hit zero coefficients)
         qb = jnp.zeros((Bv, nh), _F)
-        for (dm8, dj), items in tgroups.items():
-            win = dpd[pl.ds(Pv + j * Bv + dm8, Bv + 8),
-                      Pc + dj:Pc + dj + nh]
+        for k8, items in tgroups.items():
+            win = dpd[pl.ds(C0 + j * Bv + k8, Bv + 8), :]
             for o, d in items:
                 qb = qb + coef_ref[d] * win[o:o + Bv, :]
         q_scr[pl.ds(j * Bv, Bv), :] = qb
@@ -213,7 +277,7 @@ def _build_dia(taps, grid, Bv, K, interpret):
                pltpu.VMEM((nv, nh), _F),               # r
                pltpu.VMEM((nv, nh), _F),               # d
                pltpu.VMEM((nv, nh), _F),               # q
-               pltpu.VMEM((nv + 2 * Pv + 8, nh + 2 * Pc), _F),  # dpd
+               pltpu.VMEM((2 * C0 + nv + 8, nh), _F),  # dpd (wrap pad)
                pltpu.SMEM((2, 1), _F),                 # alpha+done
                pltpu.SMEM((1, 1), _F),                 # <d,q>
                pltpu.SMEM((2, 1), _F)]                 # beta,delta
@@ -241,6 +305,181 @@ def _build_dia(taps, grid, Bv, K, interpret):
     return step
 
 
+def _dia_batch_nb(taps, grid, Bv, ndiag, nrhs,
+                  budget: int = _DIA_VMEM_BYTES) -> int:
+    """Largest RHS-batch size (<= min(nrhs, 8)) the fat kernel fits.
+
+    Footprint grows ~linearly in nb (12 state planes + wrap pad per
+    RHS) against one shared double-buffered coefficient stream; 8 caps
+    the unrolled kernel body size.
+    """
+    nv, nh = grid
+    ht = _halo_depth(taps, nv)
+    per_rhs = (12 + 2 * ht + 1) * nv * nh * 4 + 8 * nh * 4
+    coef = 2 * ndiag * Bv * nh * 4
+    for nb in range(min(nrhs, 8), 1, -1):
+        if nb * per_rhs + coef <= budget:
+            return nb
+    return 1
+
+
+def _build_dia_batch(taps, grid, Bv, K, nb, interpret):
+    """K-iteration nb-RHS fat banded-streaming kernel.
+
+    Same recurrence as :func:`_build_dia` with a STATIC RHS axis
+    unrolled in the kernel body: each coefficient block is fetched
+    from HBM once per (iteration, row-block) grid step and applied to
+    all nb direction grids -- the reference's N_RHS block amortization
+    (``kernel/complex/spmv.cl:25-33``, report Fig. 6) -- so per-RHS
+    value traffic drops nb-fold.  Per-RHS scalar chains live in SMEM
+    (., nb) arrays; state lives in flat (nb*nv, nh) planes (static
+    b*nv row offsets keep every access a known-good 2-D slice).
+
+    step(planes, beta1 (1, nb), delta1 (1, nb),
+         x, r, d, q  (nb*nv, nh)) ->
+        (x_pre, r_pre, dnew, q, alpha (1, nb), delta (1, nb),
+         hist (K, nb))
+    with the same trailing-update convention as the single-RHS kernel.
+    """
+    nv, nh = grid
+    assert nv % Bv == 0 and Bv % 8 == 0, (nv, Bv)
+    G = nv // Bv
+    Ht = _halo_depth(taps, nv)
+    C0 = Ht * nv
+    DS = 2 * C0 + nv + 8          # per-RHS wrap-pad stride (8-aligned)
+    ndiag = 1 + max(d for _, d in taps)
+    tgroups = {}
+    for k, d in taps:
+        k8 = (k // 8) * 8
+        tgroups.setdefault(k8, []).append((k - k8, d))
+
+    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
+    coef_spec = pl.BlockSpec((ndiag, Bv, nh),
+                             lambda it, j: (0, j, 0))
+    full = pl.BlockSpec((nb * nv, nh), lambda it, j: (0, 0))
+
+    def smem_out(shape):
+        return pl.BlockSpec(shape, lambda it, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    def kernel(beta0_ref, delta0_ref, coef_ref, x_ref, r_ref, d_ref,
+               q_ref, xn_ref, rn_ref, dn_ref, qn_ref, alphan_ref,
+               deltan_ref, hist_ref, x_scr, r_scr, d_scr, q_scr, dpd,
+               al, dqa, bd):
+        it = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((it == 0) & (j == 0))
+        def _():
+            x_scr[...] = x_ref[...]
+            r_scr[...] = r_ref[...]
+            d_scr[...] = d_ref[...]
+            q_scr[...] = q_ref[...]
+            for b in range(nb):
+                al[0, b] = 0.0
+                al[1, b] = 0.0
+                bd[0, b] = beta0_ref[0, b]
+                bd[1, b] = delta0_ref[0, b]
+            dpd[...] = jnp.zeros((nb * DS, nh), _F)
+
+        @pl.when(j == 0)
+        def _():
+            for b in range(nb):
+                dqa[0, b] = 0.0
+
+            @pl.when(it > 0)
+            def _():
+                for b in range(nb):
+                    a = al[0, b]
+                    s = b * nv
+                    x_scr[s:s + nv, :] = (x_scr[s:s + nv, :]
+                                          + a * d_scr[s:s + nv, :])
+                    nr = r_scr[s:s + nv, :] - a * q_scr[s:s + nv, :]
+                    r_scr[s:s + nv, :] = nr
+                    dnew_ = jnp.sum(nr * nr)
+                    de = bd[1, b]
+                    done = al[1, b] > 0.5
+                    bd[0, b] = jnp.where(
+                        done, 0.0,
+                        dnew_ / jnp.where(done | (de == 0.0), 1.0, de))
+                    bd[1, b] = jnp.where(done, de, dnew_)
+                    hist_ref[it - 1, b] = jnp.sqrt(bd[1, b])
+
+            for b in range(nb):
+                s = b * nv
+                dn = r_scr[s:s + nv, :] + bd[0, b] * d_scr[s:s + nv, :]
+                d_scr[s:s + nv, :] = dn
+                p = b * DS + C0
+                dpd[p:p + nv, :] = dn
+                for w in range(1, Ht + 1):
+                    dpd[p + w * nv:p + (w + 1) * nv, :] = \
+                        pltpu.roll(dn, nh - w, 1)
+                    dpd[p - w * nv:p - (w - 1) * nv, :] = \
+                        pltpu.roll(dn, w, 1)
+
+        # one HBM fetch of the value block serves all nb RHS grids
+        for b in range(nb):
+            qb = jnp.zeros((Bv, nh), _F)
+            for k8, items in tgroups.items():
+                win = dpd[pl.ds(b * DS + C0 + j * Bv + k8, Bv + 8), :]
+                for o, d in items:
+                    qb = qb + coef_ref[d] * win[o:o + Bv, :]
+            q_scr[pl.ds(b * nv + j * Bv, Bv), :] = qb
+            dqa[0, b] += jnp.sum(
+                d_scr[pl.ds(b * nv + j * Bv, Bv), :] * qb)
+
+        @pl.when(j == G - 1)
+        def _():
+            for b in range(nb):
+                dq = dqa[0, b]
+                de = bd[1, b]
+                done = (de == 0.0) | (dq == 0.0) | (al[1, b] > 0.5)
+                al[0, b] = jnp.where(done, 0.0,
+                                     de / jnp.where(done, 1.0, dq))
+                al[1, b] = jnp.where(done, 1.0, 0.0)
+
+            @pl.when(it == K - 1)
+            def _():
+                xn_ref[...] = x_scr[...]
+                rn_ref[...] = r_scr[...]
+                dn_ref[...] = d_scr[...]
+                qn_ref[...] = q_scr[...]
+                for b in range(nb):
+                    alphan_ref[0, b] = al[0, b]
+                    deltan_ref[0, b] = bd[1, b]
+
+    scratch = [pltpu.VMEM((nb * nv, nh), _F),          # x
+               pltpu.VMEM((nb * nv, nh), _F),          # r
+               pltpu.VMEM((nb * nv, nh), _F),          # d
+               pltpu.VMEM((nb * nv, nh), _F),          # q
+               pltpu.VMEM((nb * DS, nh), _F),          # dpd (wrap pads)
+               pltpu.SMEM((2, nb), _F),                # alpha+done
+               pltpu.SMEM((1, nb), _F),                # <d,q>
+               pltpu.SMEM((2, nb), _F)]                # beta,delta
+
+    def step(planes, beta1, delta1, x, r, d, q):
+        return pl.pallas_call(
+            kernel,
+            grid=(K, G),
+            in_specs=[smem_in, smem_in, coef_spec] + [full] * 4,
+            out_specs=(full, full, full, full, smem_out((1, nb)),
+                       smem_out((1, nb)), smem_out((K, nb))),
+            out_shape=(jax.ShapeDtypeStruct((nb * nv, nh), _F),
+                       jax.ShapeDtypeStruct((nb * nv, nh), _F),
+                       jax.ShapeDtypeStruct((nb * nv, nh), _F),
+                       jax.ShapeDtypeStruct((nb * nv, nh), _F),
+                       jax.ShapeDtypeStruct((1, nb), _F),
+                       jax.ShapeDtypeStruct((1, nb), _F),
+                       jax.ShapeDtypeStruct((K, nb), _F)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024),
+            interpret=interpret,
+        )(beta1, delta1, planes, x, r, d, q)
+
+    return step
+
+
 def stream_cg_dia_grid(taps, grid, Bv, planes, bg, x0g,
                        n_iterations: int, chunk: int = _CHUNK,
                        interpret: bool = False):
@@ -256,18 +495,7 @@ def stream_cg_dia_grid(taps, grid, Bv, planes, bg, x0g,
             steps[K] = _build_dia(taps, grid, Bv, K, interpret)
         return steps[K]
 
-    Pv = max(abs(dm) for (dm, _), _ in taps)
-    Pc = max(abs(dj) for (_, dj), _ in taps)
-
-    def apply_xla(xg):
-        # the same tap application, full-grid XLA (init + oracle)
-        xp = jnp.pad(xg, ((Pv, Pv), (Pc, Pc)))
-        q = jnp.zeros((nv, nh), _F)
-        for (dm, dj), d in taps:
-            q = q + planes[d] * xp[Pv + dm:Pv + dm + nv,
-                                   Pc + dj:Pc + dj + nh]
-        return q
-    r0 = bg - apply_xla(x0g)
+    r0 = bg - dia_apply_grid(taps, grid, planes, x0g)
     delta0 = jnp.sum(r0 * r0)
     hists = [jnp.sqrt(delta0)[None]]
     x, r, d = x0g, r0, jnp.zeros_like(bg)
@@ -294,6 +522,53 @@ def stream_cg_dia_grid(taps, grid, Bv, planes, bg, x0g,
     return x, jnp.concatenate(hists)
 
 
+def stream_cg_dia_grid_batch(taps, grid, Bv, planes, bgs, x0gs,
+                             n_iterations: int, chunk: int = _CHUNK,
+                             interpret: bool = False):
+    """Batched grid-layout solve through the fat kernel: bgs/x0gs are
+    (nb, nv, 128) column-major grids, one coefficient stream shared by
+    all nb recurrences.  Returns (x (nb, nv, 128),
+    history (n_iterations + 1, nb))."""
+    nv, nh = grid
+    nb = bgs.shape[0]
+    steps = {}
+
+    def get_step(K):
+        if K not in steps:
+            steps[K] = _build_dia_batch(taps, grid, Bv, K, nb, interpret)
+        return steps[K]
+
+    def flat(M):
+        return M.reshape(nb * nv, nh)
+
+    r0 = bgs - dia_apply_grid(taps, grid, planes, x0gs)
+    delta0 = jnp.sum(r0 * r0, axis=(1, 2))             # (nb,)
+    hists = [jnp.sqrt(delta0)[None]]
+    x, r = flat(x0gs), flat(r0)
+    d = jnp.zeros_like(x)
+    q = jnp.zeros_like(x)
+    beta = jnp.zeros((1, nb), _F)
+    delta = delta0.reshape(1, nb)
+    for K in _chunks(n_iterations, chunk):
+        step = get_step(K)
+        x, r, d, q, alpha, delta_pre, hk = step(planes, beta, delta,
+                                                x, r, d, q)
+        # the kernel's state trails by the final alpha update (per RHS)
+        a = alpha.reshape(nb, 1, 1)
+        xg = x.reshape(nb, nv, nh) + a * d.reshape(nb, nv, nh)
+        rg = r.reshape(nb, nv, nh) - a * q.reshape(nb, nv, nh)
+        delta_new = jnp.sum(rg * rg, axis=(1, 2))
+        done = (delta_pre[0] == 0.0) | (alpha[0] == 0.0)
+        beta = jnp.where(done, 0.0,
+                         delta_new / jnp.where(delta_pre[0] == 0.0, 1.0,
+                                               delta_pre[0]))[None]
+        delta = delta_new[None]
+        x, r = flat(xg), flat(rg)
+        hists.append(hk[:K - 1, :])
+        hists.append(jnp.sqrt(delta_new)[None])
+    return x.reshape(nb, nv, nh), jnp.concatenate(hists, axis=0)
+
+
 def stream_cg_dia(dia, b, x0=None, n_iterations: int = 10,
                   block_rows: int = None, chunk: int = _CHUNK,
                   interpret: bool = False):
@@ -309,3 +584,60 @@ def stream_cg_dia(dia, b, x0=None, n_iterations: int = 10,
                                   n_iterations, chunk=chunk,
                                   interpret=interpret)
     return from_dia_grid(xg, int(dia.n)), hist
+
+
+def stream_cg_dia_block(dia, B, X0=None, n_iterations: int = 10,
+                        block_rows: int = None, chunk: int = _CHUNK,
+                        interpret: bool = False):
+    """Multi-RHS banded-streaming CG: ``B``/``X0`` are (n, nrhs).
+
+    RHS columns run through the fat batched kernel in blocks of
+    ``_dia_batch_nb`` columns (one coefficient stream per block --
+    the reference's block-CG amortization, report Fig. 6), the blocks
+    themselves as ONE ``lax.map`` device program.  Block CG shares no
+    state across RHS columns beyond the operator (``tpcg/cg.py`` runs
+    independent recurrences too), so histories equal per-column
+    :func:`stream_cg_dia` runs; ragged tails are zero-RHS padded
+    (a zero column freezes at delta0 == 0).  Returns
+    (X (n, nrhs), history (n_iterations + 1, nrhs)).
+    """
+    taps, grid, Bv, planes = prepare_dia_stream(dia, block_rows)
+    nv, _ = grid
+    n = int(dia.n)
+    B = jnp.asarray(B, _F)
+    nrhs = B.shape[1]
+    nb = _dia_batch_nb(taps, grid, Bv, planes.shape[0], nrhs)
+    npad = -nrhs % nb
+    ntot = nv * _NH
+
+    def regrid(M):       # (n, cols) -> (cols+pad, nv, 128) column-major
+        Mp = jnp.zeros((nrhs + npad, ntot), _F).at[:nrhs, :n].set(M.T)
+        return Mp.reshape(-1, _NH, nv).transpose(0, 2, 1)
+
+    bgs = regrid(B)
+    x0gs = (jnp.zeros_like(bgs) if X0 is None
+            else regrid(jnp.asarray(X0, _F)))
+
+    if nb == 1:
+        def one(args):
+            bg, xg = args
+            return stream_cg_dia_grid(taps, grid, Bv, planes, bg[0],
+                                      xg[0], n_iterations, chunk=chunk,
+                                      interpret=interpret)
+    else:
+        def one(args):
+            bg, xg = args
+            return stream_cg_dia_grid_batch(taps, grid, Bv, planes, bg,
+                                            xg, n_iterations,
+                                            chunk=chunk,
+                                            interpret=interpret)
+
+    blocks = (bgs.reshape(-1, nb, nv, _NH), x0gs.reshape(-1, nb, nv, _NH))
+    xs, hists = jax.lax.map(one, blocks)
+    if nb == 1:
+        xs, hists = xs[:, None], hists[:, :, None]
+    # (nblk, nb, nv, nh) / (nblk, it+1, nb) -> column-major columns
+    X = xs.reshape(-1, nv, _NH).transpose(0, 2, 1) \
+          .reshape(-1, ntot)[:nrhs, :n].T
+    H = hists.transpose(1, 0, 2).reshape(n_iterations + 1, -1)[:, :nrhs]
+    return X, H
