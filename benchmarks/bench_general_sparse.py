@@ -115,6 +115,46 @@ def run_dia_stream(tag, D, n, nnz, iters=200, R=4):
     return tag, n, int(nnz), dt, gflops
 
 
+def run_dia_stream_batch(tag, D, n, nnz, iters=200, R=2, nb=4):
+    """Per-RHS chained timing for the FAT batched banded kernel: one
+    coefficient stream shared by nb RHS grids (report Fig. 6)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from tpcg.ops.stream_cg_dia import (prepare_dia_stream,
+                                        stream_cg_dia_grid_batch,
+                                        to_dia_grid)
+    taps, grid, Bv, planes = prepare_dia_stream(D)
+    planes = jax.device_put(planes)
+    bg = to_dia_grid(jnp.ones((n,), jnp.float32), grid[0])
+    bgs = jax.device_put(jnp.broadcast_to(bg, (nb,) + bg.shape)
+                         * (1.0 + 0.01 * jnp.arange(nb))[:, None, None])
+
+    def chained(planes, bgs):
+        def body(x0c, _):
+            x, hist = stream_cg_dia_grid_batch(taps, grid, Bv, planes,
+                                               bgs, x0c, iters)
+            return (x0c + (1e-30 * hist[-1, 0]) * jnp.ones_like(x0c),
+                    hist[-1])
+        return lax.scan(body, jnp.zeros_like(bgs), None, length=R)[1]
+
+    fn = jax.jit(chained)
+    rn = np.asarray(fn(planes, bgs))
+    assert np.all(np.isfinite(rn)), rn
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(planes, bgs))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / R / nb           # per-RHS
+    gflops = iters * (2 * nnz + 10 * n) / dt / 1e9
+    print(json.dumps({"case": tag, "n": n, "nnz": int(nnz),
+                      "time_s": round(dt, 4),
+                      "gflops": round(gflops, 2),
+                      "chained": R, "rhs_batch": nb}), flush=True)
+    return tag, n, int(nnz), dt, gflops
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -132,6 +172,12 @@ def main():
     # streamed (tpcg/ops/stream_cg_dia.py)
     rows.append(run_dia_stream("banded-dia-stream", DiaMatrix.from_scipy(
         Ab.astype(np.float32)), n, Ab.nnz))
+    # fat batched tier: per-RHS GFLOPS with the value stream shared by
+    # 4 RHS grids (the reference's N_RHS block mode, report Fig. 6)
+    rows.append(run_dia_stream_batch("banded-dia-stream-b4",
+                                     DiaMatrix.from_scipy(
+                                         Ab.astype(np.float32)),
+                                     n, Ab.nnz))
     # node-shuffled banded matrix (what a real Matrix Market file looks
     # like before reordering) -> RCM recovers the band -> DIA
     rng = np.random.default_rng(3)
