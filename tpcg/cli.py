@@ -96,18 +96,6 @@ def run_helmholtz_cli(argv):
     from .utils.config import HelmholtzConfig
     from .utils.timing import save_sweep_output
 
-    def _mesh_for(m_s):
-        """UseCG=6 == the reference's multi-GPU thread fan-out
-        (``p_h-PY_C-CL-multi-GPU.py:2123-2181``): shard the leading
-        subdomain axis over the device mesh.  Uses the largest device
-        count that divides M_s (a 1-device mesh is still a mesh, matching
-        the reference's single-GPU degenerate case)."""
-        import jax
-        from jax.sharding import Mesh
-        devs = jax.devices()
-        nd = max(d for d in range(1, len(devs) + 1) if m_s % d == 0)
-        return Mesh(np.array(devs[:nd]), ("sd",))
-
     kkk = 20.0
     ol = (w_s - 2) // 2
     print(f"N= {(w_s - 1) * m_s + 1} k= {kkk} M_s= {m_s} W_s= {w_s} "
@@ -130,11 +118,21 @@ def run_helmholtz_cli(argv):
                                   use_cg=cg_mode, cg_max_it=cg_max_it,
                                   fgmres_chunk=chunk, verbose=10)
             counter = Counter(verbose=10)
-            if multihost:
+            # UseCG=6 == the reference's multi-GPU thread fan-out
+            # (``p_h-PY_C-CL-multi-GPU.py:2123-2181``): shard the
+            # leading subdomain axis over the device mesh (a 1-device
+            # mesh is still a mesh, matching the reference's
+            # single-GPU degenerate case).  --multihost puts every
+            # mode on the global mesh -- except a degenerate 1-device
+            # job, which keeps the single-device path (and its fused
+            # Pallas preconditioner).
+            if multihost or cg_mode == 6:
                 from .parallel.multihost import global_mesh
                 mesh = global_mesh(m_subd=m_s)
+                if multihost and cg_mode != 6 and mesh.devices.size == 1:
+                    mesh = None
             else:
-                mesh = _mesh_for(m_s) if cg_mode == 6 else None
+                mesh = None
             t1 = time.time()
             res = hsolver(cfg, mesh=mesh, callback=counter)
             t2 = time.time()

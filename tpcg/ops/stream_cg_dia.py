@@ -61,6 +61,18 @@ def _chunks(n, cap):
     return out or [n]
 
 
+def _dia_geometry(n, block_rows=None):
+    """(nv, Bv) grid geometry -- the ONE place the block-rows rule
+    lives (prepare_dia_stream and the fit rules must agree on it)."""
+    nv = -(-n // _NH)
+    Bv = block_rows
+    if Bv is None:
+        # largest block size that still gives >= 2 value blocks
+        Bv = next((c for c in (256, 128, 64, 32, 16, 8)
+                   if -(-nv // c) >= 2), 8)
+    return max(-(-nv // Bv), 2) * Bv, Bv
+
+
 def prepare_dia_stream(dia, block_rows: int = None):
     """Host-side preprocessing: (taps, grid, Bv, value planes).
 
@@ -72,13 +84,7 @@ def prepare_dia_stream(dia, block_rows: int = None):
     """
     n = int(dia.n)
     offs = [int(k) for k in dia.offsets]
-    nv = -(-n // _NH)
-    Bv = block_rows
-    if Bv is None:
-        # largest block size that still gives >= 2 value blocks
-        Bv = next((c for c in (256, 128, 64, 32, 16, 8)
-                   if -(-nv // c) >= 2), 8)
-    nv = max(-(-nv // Bv), 2) * Bv
+    nv, Bv = _dia_geometry(n, block_rows)
     data = np.asarray(dia.data, dtype=np.float32)
     planes = np.zeros((len(offs), nv * _NH), np.float32)
     planes[:, :n] = data[:, :n]
@@ -104,10 +110,7 @@ def dia_stream_fits(dia, budget: int = _DIA_VMEM_BYTES) -> bool:
     systems fall back to the XLA shift-multiply path.
     """
     n, offs = int(dia.n), [int(k) for k in dia.offsets]
-    nv0 = -(-n // _NH)
-    Bv = next((c for c in (256, 128, 64, 32, 16, 8)
-               if -(-nv0 // c) >= 2), 8)
-    nv = max(-(-nv0 // Bv), 2) * Bv
+    nv, Bv = _dia_geometry(n)
     ht = -(-max((abs(k) for k in offs), default=0) // nv)
     plane = nv * _NH * 4
     need = (12 * plane                      # x/r/d/q in+out+scratch
@@ -155,154 +158,17 @@ def from_dia_grid(xg, n):
 
 
 def _build_dia(taps, grid, Bv, K, interpret):
-    """K-iteration banded-streaming kernel.
+    """K-iteration banded-streaming kernel -- the nb=1 specialization
+    of :func:`_build_dia_batch` (one kernel implementation to
+    maintain; the traced program is identical since every (nb*nv, nh)
+    shape degenerates to (nv, nh)).
 
     step(planes, beta1, delta1, x, r, d, q) ->
         (x_pre, r_pre, dnew, q, alpha (1,1), delta (1,1), hist (K,1))
     where x_pre/r_pre trail by the final alpha update (applied by the
     wrapper in XLA) and hist[i] = sqrt(delta_{i+1}) for i < K-1.
     """
-    nv, nh = grid
-    assert nv % Bv == 0 and Bv % 8 == 0, (nv, Bv)
-    G = nv // Bv
-    # wrap-filled pad: Ht*nv halo rows each side (8-aligned since nv is
-    # a Bv multiple), holding the +-1..Ht neighbour columns' data; every
-    # tap is then a single lane-aligned vertical window.  Dynamic
-    # sublane slices must be provably 8-divisible, so window loads use
-    # 8-floored bases and the residual 0..7-row offset becomes a STATIC
-    # slice of the loaded value.
-    Ht = _halo_depth(taps, nv)
-    C0 = Ht * nv
-    ndiag = 1 + max(d for _, d in taps)
-    # group taps by 8-aligned base: one window load per group, shared
-    # by its taps
-    tgroups = {}
-    for k, d in taps:
-        k8 = (k // 8) * 8
-        tgroups.setdefault(k8, []).append((k - k8, d))
-
-    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
-    coef_spec = pl.BlockSpec((ndiag, Bv, nh),
-                             lambda it, j: (0, j, 0))
-    full = pl.BlockSpec((nv, nh), lambda it, j: (0, 0))
-
-    def smem_out(shape):
-        return pl.BlockSpec(shape, lambda it, j: (0, 0),
-                            memory_space=pltpu.SMEM)
-
-    def kernel(beta0_ref, delta0_ref, coef_ref, x_ref, r_ref, d_ref,
-               q_ref, xn_ref, rn_ref, dn_ref, qn_ref, alphan_ref,
-               deltan_ref, hist_ref, x_scr, r_scr, d_scr, q_scr, dpd,
-               al, dqa, bd):
-        it = pl.program_id(0)
-        j = pl.program_id(1)
-
-        @pl.when((it == 0) & (j == 0))
-        def _():
-            x_scr[...] = x_ref[...]
-            r_scr[...] = r_ref[...]
-            d_scr[...] = d_ref[...]
-            q_scr[...] = q_ref[...]
-            al[0, 0] = 0.0
-            al[1, 0] = 0.0
-            bd[0, 0] = beta0_ref[0, 0]
-            bd[1, 0] = delta0_ref[0, 0]
-            # only the +8 window-overhang rows need zeros (every halo
-            # row is rewritten each iteration); zero it all once
-            dpd[...] = jnp.zeros((2 * C0 + nv + 8, nh), _F)
-
-        @pl.when(j == 0)
-        def _():
-            dqa[0, 0] = 0.0
-
-            # deferred update from the previous iteration (exact: the
-            # same fp ops, executed one iteration later), then the new
-            # beta/delta/history scalars
-            @pl.when(it > 0)
-            def _():
-                a = al[0, 0]
-                x_scr[...] = x_scr[...] + a * d_scr[...]
-                nr = r_scr[...] - a * q_scr[...]
-                r_scr[...] = nr
-                dnew_ = jnp.sum(nr * nr)
-                de = bd[1, 0]
-                done = al[1, 0] > 0.5
-                bd[0, 0] = jnp.where(
-                    done, 0.0,
-                    dnew_ / jnp.where(done | (de == 0.0), 1.0, de))
-                bd[1, 0] = jnp.where(done, de, dnew_)
-                hist_ref[it - 1, 0] = jnp.sqrt(bd[1, 0])
-
-            dn = r_scr[...] + bd[0, 0] * d_scr[...]
-            d_scr[...] = dn
-            # wrap-fill: centre + 2*Ht lane-rolled halo copies (row
-            # C0 + w*nv + r holds column c+w's data, i.e. x[i + w*nv])
-            dpd[C0:C0 + nv, :] = dn
-            for w in range(1, Ht + 1):
-                dpd[C0 + w * nv:C0 + (w + 1) * nv, :] = \
-                    pltpu.roll(dn, nh - w, 1)
-                dpd[C0 - w * nv:C0 - (w - 1) * nv, :] = \
-                    pltpu.roll(dn, w, 1)
-
-        # q rows for this value block: one lane-aligned vertical window
-        # per 8-aligned offset group, one FMA per diagonal (wrapped
-        # reads outside the matrix hit zero coefficients)
-        qb = jnp.zeros((Bv, nh), _F)
-        for k8, items in tgroups.items():
-            win = dpd[pl.ds(C0 + j * Bv + k8, Bv + 8), :]
-            for o, d in items:
-                qb = qb + coef_ref[d] * win[o:o + Bv, :]
-        q_scr[pl.ds(j * Bv, Bv), :] = qb
-        dqa[0, 0] += jnp.sum(d_scr[pl.ds(j * Bv, Bv), :] * qb)
-
-        @pl.when(j == G - 1)
-        def _():
-            dq = dqa[0, 0]
-            de = bd[1, 0]
-            done = (de == 0.0) | (dq == 0.0) | (al[1, 0] > 0.5)
-            al[0, 0] = jnp.where(done, 0.0,
-                                 de / jnp.where(done, 1.0, dq))
-            al[1, 0] = jnp.where(done, 1.0, 0.0)
-
-            @pl.when(it == K - 1)
-            def _():
-                xn_ref[...] = x_scr[...]
-                rn_ref[...] = r_scr[...]
-                dn_ref[...] = d_scr[...]
-                qn_ref[...] = q_scr[...]
-                alphan_ref[0, 0] = al[0, 0]
-                deltan_ref[0, 0] = bd[1, 0]
-
-    scratch = [pltpu.VMEM((nv, nh), _F),               # x
-               pltpu.VMEM((nv, nh), _F),               # r
-               pltpu.VMEM((nv, nh), _F),               # d
-               pltpu.VMEM((nv, nh), _F),               # q
-               pltpu.VMEM((2 * C0 + nv + 8, nh), _F),  # dpd (wrap pad)
-               pltpu.SMEM((2, 1), _F),                 # alpha+done
-               pltpu.SMEM((1, 1), _F),                 # <d,q>
-               pltpu.SMEM((2, 1), _F)]                 # beta,delta
-
-    def step(planes, beta1, delta1, x, r, d, q):
-        return pl.pallas_call(
-            kernel,
-            grid=(K, G),
-            in_specs=[smem_in, smem_in, coef_spec] + [full] * 4,
-            out_specs=(full, full, full, full, smem_out((1, 1)),
-                       smem_out((1, 1)), smem_out((K, 1))),
-            out_shape=(jax.ShapeDtypeStruct((nv, nh), _F),
-                       jax.ShapeDtypeStruct((nv, nh), _F),
-                       jax.ShapeDtypeStruct((nv, nh), _F),
-                       jax.ShapeDtypeStruct((nv, nh), _F),
-                       jax.ShapeDtypeStruct((1, 1), _F),
-                       jax.ShapeDtypeStruct((1, 1), _F),
-                       jax.ShapeDtypeStruct((K, 1), _F)),
-            scratch_shapes=scratch,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=127 * 1024 * 1024),
-            interpret=interpret,
-        )(beta1, delta1, planes, x, r, d, q)
-
-    return step
+    return _build_dia_batch(taps, grid, Bv, K, 1, interpret)
 
 
 def _dia_batch_nb(taps, grid, Bv, ndiag, nrhs,

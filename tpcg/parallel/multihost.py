@@ -93,13 +93,36 @@ def global_mesh(axis: str = "sd",
     mesh is capped to the largest device count that divides it (the same
     rule as the single-host driver) -- a 4-device job solving an M=2 grid
     runs on a 2-device mesh rather than failing the sharding check.
+
+    Multi-process jobs: EVERY process must contribute devices to the
+    mesh (a mesh missing some process's devices would leave that
+    process blocked outside the collectives), so the cap must stay a
+    multiple of the process count and the kept devices are taken
+    evenly from each process -- nd/P per process, in process order,
+    which preserves same-host ICI adjacency for the W/E neighbour
+    exchanges.  Raises when ``m_subd`` admits no such mesh size
+    (relaunch with a process count that divides ``m_subd``).
     """
     import numpy as np
     from jax.sharding import Mesh
     devs = jax.devices()
+    nproc = jax.process_count()
     nd = len(devs)
     if m_subd is not None:
-        nd = max(d for d in range(1, nd + 1) if m_subd % d == 0)
+        cand = [d for d in range(1, nd + 1)
+                if m_subd % d == 0 and d % nproc == 0]
+        if not cand:
+            raise ValueError(
+                f"no mesh size divides M_subd={m_subd} while spanning "
+                f"all {nproc} processes; relaunch with a process count "
+                f"that divides M_subd")
+        nd = max(cand)
+    if nproc > 1:
+        by_proc = {}
+        for d in devs:
+            by_proc.setdefault(d.process_index, []).append(d)
+        k = nd // nproc
+        devs = [d for p in sorted(by_proc) for d in by_proc[p][:k]]
     return Mesh(np.asarray(devs[:nd]), (axis,))
 
 

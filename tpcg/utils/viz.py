@@ -90,12 +90,13 @@ def gnuplot_splot(f, label: str = "", script_path: str = None,
     if np.iscomplexobj(ff):
         ff = (ff.real + ff.imag) / 2.0    # the reference's aver(real,imag)
     rows = "\n".join(" ".join(f"{v:.9g}" for v in row) for row in ff)
+    lbl = str(label).replace("'", "''")   # gnuplot single-quote escape
     script = (
         "$grid << EOD\n" + rows + "\nEOD\n"
         "set parametric\n"
         "set style data lines\n"
         "set contour base\n"
-        f"set title '{label}'\n"
+        f"set title '{lbl}'\n"
         "set xlabel 'x'\nset ylabel 'y'\n"
         "splot $grid matrix notitle\n")
     if script_path is not None:
