@@ -368,6 +368,18 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
                      operands=operands, callback=callback)
     wall = time.time() - t0
 
+    if mesh is not None and len({d.process_index
+                                 for d in mesh.devices.flat}) > 1:
+        # Multi-process mesh: the solution is sharded across hosts and
+        # a plain host fetch of non-addressable shards raises.
+        # Replicate it (one XLA all-gather over the mesh) so every
+        # process holds the full field -- the analogue of the
+        # reference's rank-wise gather at solve end.
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        res = dataclasses.replace(
+            res, x=jax.jit(lambda a: a, out_shardings=rep)(res.x))
+
     # post-solve true-residual verification (:3316-3337)
     true_res = float(norm(matvec(res.x) - b))
     if x0 is None:

@@ -27,9 +27,12 @@ or programmatically::
 This module is deliberately thin: everything distributed lives in the
 mesh-aware solver (``tpcg/parallel/hsolver.py``, ``halo.py``); this is
 only the process-bootstrap that MPI gave the reference for free.
-Unverifiable end-to-end on this single-host build environment -- the
-single-process degenerate path is covered by tests, and the multi-device
-sharding itself by the 8-virtual-device suite (tests/test_sharding.py).
+Verified end-to-end by ``tests/test_multihost.py::
+test_two_process_distributed_solve``: two real jax.distributed
+processes on localhost (CPU devices, collectives over gloo) run the
+mesh-sharded solve to convergence and produce the identical replicated
+solution; multi-HOST differs only in the transport (DCN instead of
+loopback).
 """
 from __future__ import annotations
 
