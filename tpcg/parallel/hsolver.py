@@ -273,6 +273,14 @@ def hsolver(cfg: HelmholtzConfig, mesh=None,
                   5: "numpy", 6: "block_cg"}.get(cfg.use_cg, "block_cg")
         if method == "numpy" and planes:
             method = "block_cg"   # host oracle mode is complex-only
+        if (method == "numpy" and mesh is not None
+                and len({d.process_index
+                         for d in mesh.devices.flat}) > 1):
+            raise ValueError(
+                "UseCG=5 (host NumPy oracle preconditioner) fetches "
+                "device state to the host every application and cannot "
+                "run on a mesh spanning multiple processes; use UseCG "
+                "in {0, 1, 2, 6}")
         # "fused" routes the batched subdomain CG through the Pallas
         # VMEM kernel (planes path, shared block, single device only --
         # under a mesh the batch-sharded XLA solve is the collective-
