@@ -57,18 +57,21 @@ def main():
     from jax import lax
     from tpcg import block_cg
     from tpcg.sparse import DiaMatrix
-    from tpcg.ops.stream_cg_dia import (prepare_dia_stream,
+    from tpcg.ops.stream_cg_dia import (_dia_batch_nb,
+                                        prepare_dia_stream,
                                         stream_cg_dia_grid,
                                         stream_cg_dia_grid_batch,
                                         to_dia_grid)
 
-    iters, gate, R, nb = 200, 100, 4, 4
+    iters, gate, R = 200, 100, 4
 
     for tag, As in (("m_t1", banded_spd(97578, 50)),
                     ("parabolic", para_spd())):
         D = DiaMatrix.from_scipy(As.astype(np.float32))
         n, nnz = D.n, As.nnz
         taps, grid, Bv, planes = prepare_dia_stream(D)
+        nb = _dia_batch_nb(taps, grid, Bv, planes.shape[0], 8)
+        print(f"{tag}: fat batch nb={nb}", flush=True)
         planes = jax.device_put(planes)
         b = jnp.ones((n,), jnp.float32)
         bg = jax.device_put(to_dia_grid(b, grid[0]))

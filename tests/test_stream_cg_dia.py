@@ -61,15 +61,18 @@ def test_dia_apply_taps_match_matvec(n, hb, step):
                                atol=1e-4 * np.abs(want).max())
 
 
-@pytest.mark.parametrize("n,hb,chunk", [(4000, 9, 64), (4000, 9, 5),
-                                        (3037, 4, 64)])
-def test_stream_dia_matches_oracle(n, hb, chunk):
+@pytest.mark.parametrize("n,hb,chunk,step",
+                         [(4000, 9, 64, 1), (4000, 9, 5, 1),
+                          (3037, 4, 64, 1), (4000, 3, 64, 25)])
+def test_stream_dia_matches_oracle(n, hb, chunk, step):
     """Full solve vs the f64 NumPy oracle and the XLA DiaMatrix CG
     (f32): the banded kernel's histories must track both on this
-    converging SPD band (odd n exercises the grid zero-pad)."""
+    converging SPD band (odd n exercises the grid zero-pad; step=25
+    pushes max|k| to 75 >> nv=32, exercising the kernel's Ht=3
+    multi-column wrap fill)."""
     from tpcg import block_cg, reference
     iters = 25
-    As = banded_spd(n, hb)
+    As = banded_spd(n, hb, step=step)
     A = DiaMatrix.from_scipy(As)
     rng = np.random.default_rng(2)
     b = rng.standard_normal(n).astype(np.float32)
@@ -95,15 +98,17 @@ def test_stream_dia_matches_oracle(n, hb, chunk):
     assert np.abs(np.asarray(x) - xx).max() < 1e-3 * np.abs(xx).max()
 
 
-def test_block_multirhs_matches_single_and_xla():
-    """The lax.map multi-RHS surface equals per-column solves BITWISE
-    (identical program per element) and tracks the XLA block_cg
-    histories."""
+@pytest.mark.parametrize("step", [1, 30])
+def test_block_multirhs_matches_single_and_xla(step):
+    """The fat-batched multi-RHS surface's solutions equal per-column
+    solves BITWISE (identical per-RHS op sequence) and its histories
+    track the XLA block_cg ones (step=30 exercises the batched
+    kernel's multi-column wrap fill, Ht > 1)."""
     from tpcg import block_cg
     from tpcg.ops.stream_cg_dia import stream_cg_dia_block
 
     n, iters, nrhs = 3000, 20, 3
-    As = banded_spd(n, 5)
+    As = banded_spd(n, 5, step=step)
     A = DiaMatrix.from_scipy(As)
     rng = np.random.default_rng(5)
     B = rng.standard_normal((n, nrhs)).astype(np.float32)
