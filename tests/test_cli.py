@@ -34,6 +34,21 @@ def test_helmholtz_cli_usecg6_builds_mesh(tmp_path, capsys, monkeypatch):
     assert os.path.exists(tmp_path / "output_2_6_40.txt")
 
 
+def test_helmholtz_cli_multihost_flag(tmp_path, capsys, monkeypatch):
+    """--multihost on a single-process job: env bootstrap is a no-op,
+    the solve runs on the global mesh (8 virtual devices -> 2-device
+    mesh for M_s=2) and converges like the plain run."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("NUM_PROCESSES", raising=False)
+    assert main(["helmholtz", "2", "6", "2", "40", "--multihost"]) == 0
+    out = capsys.readouterr().out
+    its = [int(ln.split("####it:")[1]) for ln in out.splitlines()
+           if "####it:" in ln]
+    assert len(its) == 1 and its[0] > 0
+    assert os.path.exists(tmp_path / "output_2_6_40.txt")
+
+
 def test_route_cli_roundtrip(tmp_path):
     """route subcommand: build + save tables; RoutedSpmv.load gives the
     same operator."""
