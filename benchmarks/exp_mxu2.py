@@ -27,7 +27,7 @@ def main():
     from tpcg.ops.fused_cg import (_cg_scalar_step, _init_state,
                                    _pad_for, fused_cg_stencil,
                                    prepare_coef3)
-    from tpcg.ops.fused_cg_mxu import fused_cg_stencil_mxu, prepare_mxu
+    from fused_cg_mxu import fused_cg_stencil_mxu, prepare_mxu
     from tpcg.problems import helm_fe, plane_wave_rhs
 
     N, k, iters = 128, 12.0, 5000

@@ -1,5 +1,25 @@
 """MXU-formulated fused CG: the stencil apply as banded lane matmuls.
 
+MEASURED NEGATIVE RESULT (rounds 3-4) -- kept under benchmarks/ as the
+documented evidence, NOT dispatched by the planner.  Mosaic in-kernel
+matmuls support only DEFAULT (1-pass bf16) and HIGHEST (6-pass)
+precision.  Chained true-device timing vs the production VPU fused
+kernel (benchmarks/exp_mxu3.py, helm_fe k=12, 2000 it):
+
+    N=128:  vpu 2.9 us/it; mxu highest not faster, default parity 8.9
+    N=256:  vpu 7.17 us/it (876 GFLOPS, parity 3e-4 vs XLA)
+            mxu highest 13.11 (1.8x slower), default 5.46 but parity 44
+    N=384:  vpu 12.51 us/it
+            mxu highest 36.30 (2.9x slower), default 10.74, parity 12
+
+The banded H wastes (Nh-3)/Nh of the MXU flops, so the 6-pass tier
+loses even where the matmul replaces ~60 VPU ops, and the 1-pass tier's
+bf16 taps destroy the residual history (CG recurrences amplify the
+rounding).  The formulation itself is exact and correctness-tested
+(tests/test_fused_cg.py::test_fused_mxu_matches_general).
+
+Original design notes:
+
 The VMEM-resident fused kernel (``tpcg.ops.fused_cg``) is VPU-bound: the
 complex stencil apply is ~60 elementwise vector ops per iteration, and at
 the headline N=128 grid (the reference's ``helm_fem`` protocol,
@@ -18,8 +38,9 @@ variant moves the stencil apply onto the MXU:
   Complex arithmetic stays in Karatsuba 3-multiply form, so one apply is
   3 (dm) x 3 (planes) = 9 (Nv, Nh) @ (Nh, Nh) matmuls -- at Nh = 128
   each is a single native MXU tile op.  The banded H wastes Nh/3 of the
-  MXU flops, so this path only pays for Nh <= ~256; the planner keeps it
-  to the small-grid regime where the VPU formulation is latency-bound.
+  MXU flops; the hope was that the path would pay in the small-grid
+  regime where the VPU formulation is latency-bound (it does not --
+  see the measured result above).
 
 Numerics are identical to ``fused_cg_stencil`` (same COCG recurrences,
 same freeze guard, same history definition); the matmuls run at
@@ -38,7 +59,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_cg import (_cg_packed_body, _cg_scalar_step, _init_state,
+from tpcg.ops.fused_cg import (_cg_packed_body, _cg_scalar_step, _init_state,
                        _packed_init, _pad_for)
 
 _F = jnp.float32

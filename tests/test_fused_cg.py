@@ -1,8 +1,17 @@
 """Fused Pallas CG kernel (interpret mode) == planes block-CG == oracle."""
+import os
+import sys
+
 import numpy as np
 import pytest
 
 import jax.numpy as jnp
+
+# the MXU formulation lives under benchmarks/ as a measured negative
+# result (benchmarks/fused_cg_mxu.py docstring); its exactness is still
+# pinned here
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "benchmarks"))
 
 from tpcg import reference
 from tpcg.ops import (block_cg_planes, from_planes, make_pair_operator,
@@ -122,7 +131,7 @@ def test_fused_mxu_matches_general():
     """The MXU (banded lane-matmul) formulation must reproduce the VPU
     fused kernel on the helm_fem class -- per-column coefficient profiles
     + boundary-row strips are an exact re-expression of the stencil."""
-    from tpcg.ops.fused_cg_mxu import fused_cg_mxu, prepare_mxu
+    from fused_cg_mxu import fused_cg_mxu, prepare_mxu
     N, k = 20, 5.0
     S = helm_fe(N, k, eps=k)
     b = plane_wave_rhs(N, k)
@@ -191,7 +200,7 @@ def test_fused_chunked_matches_monolithic():
 def test_fused_mxu_rejects_row_variable():
     """Coefficients varying across interior rows cannot fold into the
     lane-matmul form; prepare_mxu must refuse (planner falls back)."""
-    from tpcg.ops.fused_cg_mxu import prepare_mxu
+    from fused_cg_mxu import prepare_mxu
     from tpcg.problems import helm_fe_var
     rng = np.random.default_rng(0)
     S = helm_fe_var(12, 5.0, 0.5 + rng.random((11, 11)), 0.1)
