@@ -218,18 +218,36 @@ def main():
     except Exception as e:
         print(f"parabolic_fem FAILED: {str(e)[:200]}", flush=True)
 
-    # ---- mhd1280b-class: complex n=1,280 band -> DIA planes ------------
+    # ---- mhd1280b-class: complex n=1,280 band -> streaming DIA (COCG
+    # twin, state + values VMEM-resident; falls back to the XLA pair
+    # operator if the kernel path fails) ---------------------------------
     try:
         n = 1280
         A = banded_complex(n, tuple(range(0, 9)), seed=2)   # ~17.8/row
         M = DiaMatrix.from_scipy(A.astype(np.complex64))
-        P = jax.device_put(make_pair_operator(M, dtype=jnp.float32))
-        b2 = jnp.stack([jnp.ones((n, 1), jnp.float32),
-                        jnp.zeros((n, 1), jnp.float32)])
         iters = 5000
-        fn = chained(lambda P, b: block_cg_planes(
-            P, b, n_iterations=iters).residual_history[-1], b_index=1)
-        dt = time_reps(fn, P, b2)
+        try:
+            from tpcg.ops.stream_cg_dia import (prepare_dia_stream_cplx,
+                                                stream_cg_dia_grid_cplx,
+                                                to_dia_grid_cplx)
+            taps, grd, Bv, planes2 = prepare_dia_stream_cplx(M)
+            planes2 = jax.device_put(planes2)
+            bg2 = jax.device_put(to_dia_grid_cplx(
+                np.ones(n, np.complex64), grd[0]))
+            fn = chained(lambda p, bb: stream_cg_dia_grid_cplx(
+                taps, grd, Bv, p, bb, jnp.zeros_like(bb), iters)[1][-1],
+                b_index=1)
+            dt = time_reps(fn, planes2, bg2)
+        except Exception as e:
+            print(f"mhd1280b dia-stream kernel failed "
+                  f"({str(e)[:120]}); falling back to XLA planes",
+                  flush=True)
+            P = jax.device_put(make_pair_operator(M, dtype=jnp.float32))
+            b2 = jnp.stack([jnp.ones((n, 1), jnp.float32),
+                            jnp.zeros((n, 1), jnp.float32)])
+            fn = chained(lambda P, b: block_cg_planes(
+                P, b, n_iterations=iters).residual_history[-1], b_index=1)
+            dt = time_reps(fn, P, b2)
         record("mhd1280b", n, A.nnz, iters, dt, cplx=True)
     except Exception as e:
         print(f"mhd1280b FAILED: {str(e)[:200]}", flush=True)

@@ -85,6 +85,9 @@ def _solve_planes(A, B, X0, n_iterations, Pop=None):
     import jax.numpy as jnp
     from .ops.cplx import (block_cg_planes_chunked as block_cg_planes,
                            from_planes, make_pair_operator, to_planes)
+    from .sparse import DiaMatrix
+    from .ops.stream_cg_dia import (dia_stream_cplx_fits,
+                                    stream_cg_dia_cplx_block)
 
     dtype = np.asarray(B).dtype
     fdt = jnp.float32 if dtype == np.complex64 else jnp.float64
@@ -92,6 +95,18 @@ def _solve_planes(A, B, X0, n_iterations, Pop=None):
         warnings.warn(
             "complex128 solve on a non-CPU backend runs in float32 planes "
             "(enable jax x64 for double precision)", stacklevel=3)
+    if (Pop is None and fdt == jnp.float32
+            and isinstance(A, DiaMatrix)
+            and np.iscomplexobj(np.asarray(A.data))
+            and jax.default_backend() != "cpu"
+            and dia_stream_cplx_fits(A)):
+        # complex banded operands route to the VMEM-resident streaming
+        # DIA kernel (the mhd1280b class, report Table I) -- ~9x the
+        # XLA pair-operator shift-multiply at that size
+        X, history = stream_cg_dia_cplx_block(
+            A, B, X0, n_iterations=n_iterations,
+            interpret=jax.devices()[0].platform == "cpu")
+        return X.astype(dtype), np.asarray(history)
     if Pop is None:
         Pop = make_pair_operator(A, dtype=fdt)
     res = block_cg_planes(Pop, to_planes(B, fdt),

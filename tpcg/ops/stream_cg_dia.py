@@ -45,6 +45,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .stream_cg import _smith_cdiv
+
 _F = jnp.float32
 _NH = 128
 # iterations per pallas call (bounds SMEM history + grid size)
@@ -433,6 +435,369 @@ def stream_cg_dia_grid_batch(taps, grid, Bv, planes, bgs, x0gs,
         hists.append(hk[:K - 1, :])
         hists.append(jnp.sqrt(delta_new)[None])
     return x.reshape(nb, nv, nh), jnp.concatenate(hists, axis=0)
+
+
+# ====================================================================
+# Complex twin (COCG): the mhd1280b class (report Table I -- complex
+# n=1,280 band, ~18 diagonals) previously ran the XLA shift-multiply
+# pair operator (``block_cg_planes``) at ~13 GFLOPS; at that size the
+# whole problem (state + value planes) is VMEM-resident and the XLA
+# path's per-op dispatch dominates.  Same column-major wrap-fill
+# formulation, two f32 planes per field (``tpcg/ops/cplx.py`` layout:
+# never ship complex64 to the device), COCG unconjugated dots
+# (``kernel/complex/vdot.cl:15``) and Smith-scaled complex division.
+# ====================================================================
+
+
+def prepare_dia_stream_cplx(dia, block_rows: int = None):
+    """Host-side preprocessing for a complex :class:`DiaMatrix`:
+    (taps, grid, Bv, value planes (2, ndiag, nv, nh) f32)."""
+    n = int(dia.n)
+    offs = [int(k) for k in dia.offsets]
+    nv, Bv = _dia_geometry(n, block_rows)
+    data = np.asarray(dia.data)
+    planes = np.zeros((2, len(offs), nv * _NH), np.float32)
+    planes[0, :, :n] = data[:, :n].real
+    planes[1, :, :n] = data[:, :n].imag
+    planes = planes.reshape(2, len(offs), _NH, nv).transpose(0, 1, 3, 2)
+    taps = tuple((k, d) for d, k in enumerate(offs))
+    return taps, (nv, _NH), Bv, jnp.asarray(planes)
+
+
+def dia_stream_cplx_fits(dia, budget: int = _DIA_VMEM_BYTES) -> bool:
+    """VMEM fit rule for the complex banded-streaming kernel (twice the
+    real kernel's state/pad planes + a re/im coefficient stream)."""
+    n, offs = int(dia.n), [int(k) for k in dia.offsets]
+    nv, Bv = _dia_geometry(n)
+    ht = -(-max((abs(k) for k in offs), default=0) // nv)
+    plane = nv * _NH * 4
+    need = (2 * 12 * plane                       # x/r/d/q in+out+scratch
+            + 2 * ((2 * ht + 1) * plane + 8 * _NH * 4)  # dpd wrap pads
+            + 2 * 2 * len(offs) * Bv * _NH * 4)  # coef double-buffer
+    return need <= budget
+
+
+def dia_apply_grid_cplx(taps, grid, planes2, xg2):
+    """q = A @ x on the column-major grid, complex planes: ``planes2``
+    is (2, ndiag, nv, nh), ``xg2`` (2, nv, nh) (or leading batch axes
+    before the plane axis are NOT supported -- the plane axis leads).
+    XLA twin of the kernel's tap application (r0 init + test oracle)."""
+    nv, nh = grid
+    ht = _halo_depth(taps, nv)
+    xp = wrap_pad_grid(xg2, ht)
+    c0 = ht * nv
+    qr = jnp.zeros((nv, nh), _F)
+    qi = jnp.zeros((nv, nh), _F)
+    for k, d in taps:
+        wr = xp[0, c0 + k:c0 + k + nv, :]
+        wi = xp[1, c0 + k:c0 + k + nv, :]
+        qr = qr + planes2[0, d] * wr - planes2[1, d] * wi
+        qi = qi + planes2[0, d] * wi + planes2[1, d] * wr
+    return jnp.stack([qr, qi])
+
+
+def _udot2(ar, ai, br, bi):
+    """Unconjugated complex dot of two plane pairs (COCG, scalar pair)."""
+    return (jnp.sum(ar * br - ai * bi), jnp.sum(ar * bi + ai * br))
+
+
+def _build_dia_cplx(taps, grid, Bv, K, interpret):
+    """K-iteration complex banded-streaming kernel (single RHS).
+
+    Same deferred-update recurrence as :func:`_build_dia_batch` with
+    complex (two-plane) state and Smith-scaled complex alpha/beta:
+
+    step(planes2, beta1 (2,1), delta1 (2,1), x, r, d, q (2, nv, nh)) ->
+        (x_pre, r_pre, dnew, q, alpha (2,1), delta (2,1), hist (K,1))
+    where x_pre/r_pre trail by the final alpha update (applied by the
+    wrapper in XLA) and hist[i] = |delta_{i+1}|^(1/2) for i < K-1.
+    """
+    nv, nh = grid
+    assert nv % Bv == 0 and Bv % 8 == 0, (nv, Bv)
+    G = nv // Bv
+    Ht = _halo_depth(taps, nv)
+    C0 = Ht * nv
+    DS = 2 * C0 + nv + 8
+    ndiag = 1 + max(d for _, d in taps)
+    tgroups = {}
+    for k, d in taps:
+        k8 = (k // 8) * 8
+        tgroups.setdefault(k8, []).append((k - k8, d))
+
+    smem_in = pl.BlockSpec(memory_space=pltpu.SMEM)
+    coef_spec = pl.BlockSpec((2, ndiag, Bv, nh),
+                             lambda it, j: (0, 0, j, 0))
+    full = pl.BlockSpec((2, nv, nh), lambda it, j: (0, 0, 0))
+
+    def smem_out(shape):
+        return pl.BlockSpec(shape, lambda it, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    def kernel(beta0_ref, delta0_ref, coef_ref, x_ref, r_ref, d_ref,
+               q_ref, xn_ref, rn_ref, dn_ref, qn_ref, alphan_ref,
+               deltan_ref, hist_ref, x_scr, r_scr, d_scr, q_scr, dpd,
+               al, dqa, bd):
+        it = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((it == 0) & (j == 0))
+        def _():
+            x_scr[...] = x_ref[...]
+            r_scr[...] = r_ref[...]
+            d_scr[...] = d_ref[...]
+            q_scr[...] = q_ref[...]
+            al[0, 0] = 0.0
+            al[1, 0] = 0.0
+            al[2, 0] = 0.0
+            bd[0, 0] = beta0_ref[0, 0]
+            bd[1, 0] = beta0_ref[1, 0]
+            bd[2, 0] = delta0_ref[0, 0]
+            bd[3, 0] = delta0_ref[1, 0]
+            dpd[...] = jnp.zeros((2, DS, nh), _F)
+
+        @pl.when(j == 0)
+        def _():
+            dqa[0, 0] = 0.0
+            dqa[1, 0] = 0.0
+
+            @pl.when(it > 0)
+            def _():
+                # deferred complex x/r updates with the previous alpha
+                ar = al[0, 0]
+                ai = al[1, 0]
+                dr = d_scr[0, :, :]
+                di = d_scr[1, :, :]
+                x_scr[0, :, :] = x_scr[0, :, :] + ar * dr - ai * di
+                x_scr[1, :, :] = x_scr[1, :, :] + ar * di + ai * dr
+                nrr = r_scr[0, :, :] - (ar * q_scr[0, :, :]
+                                        - ai * q_scr[1, :, :])
+                nri = r_scr[1, :, :] - (ar * q_scr[1, :, :]
+                                        + ai * q_scr[0, :, :])
+                r_scr[0, :, :] = nrr
+                r_scr[1, :, :] = nri
+                dnr_, dni_ = _udot2(nrr, nri, nrr, nri)
+                done = al[2, 0] > 0.5
+                der = bd[2, 0]
+                dei = bd[3, 0]
+                sdr = jnp.where(done, 1.0, der)
+                sdi = jnp.where(done, 1.0, dei)
+                br_, bi_ = _smith_cdiv(dnr_, dni_, sdr, sdi)
+                bd[0, 0] = jnp.where(done, 0.0, br_)
+                bd[1, 0] = jnp.where(done, 0.0, bi_)
+                bd[2, 0] = jnp.where(done, der, dnr_)
+                bd[3, 0] = jnp.where(done, dei, dni_)
+                hist_ref[it - 1, 0] = jnp.sqrt(
+                    jnp.sqrt(bd[2, 0] * bd[2, 0] + bd[3, 0] * bd[3, 0]))
+
+            # direction update + wrap-fill pads (both planes)
+            br = bd[0, 0]
+            bi = bd[1, 0]
+            dnr = (r_scr[0, :, :] + br * d_scr[0, :, :]
+                   - bi * d_scr[1, :, :])
+            dni = (r_scr[1, :, :] + br * d_scr[1, :, :]
+                   + bi * d_scr[0, :, :])
+            d_scr[0, :, :] = dnr
+            d_scr[1, :, :] = dni
+            dpd[0, C0:C0 + nv, :] = dnr
+            dpd[1, C0:C0 + nv, :] = dni
+            for w in range(1, Ht + 1):
+                dpd[0, C0 + w * nv:C0 + (w + 1) * nv, :] = \
+                    pltpu.roll(dnr, nh - w, 1)
+                dpd[1, C0 + w * nv:C0 + (w + 1) * nv, :] = \
+                    pltpu.roll(dni, nh - w, 1)
+                dpd[0, C0 - w * nv:C0 - (w - 1) * nv, :] = \
+                    pltpu.roll(dnr, w, 1)
+                dpd[1, C0 - w * nv:C0 - (w - 1) * nv, :] = \
+                    pltpu.roll(dni, w, 1)
+
+        # one HBM fetch of the (re, im) value block per grid step
+        qbr = jnp.zeros((Bv, nh), _F)
+        qbi = jnp.zeros((Bv, nh), _F)
+        for k8, items in tgroups.items():
+            winr = dpd[0, pl.ds(C0 + j * Bv + k8, Bv + 8), :]
+            wini = dpd[1, pl.ds(C0 + j * Bv + k8, Bv + 8), :]
+            for o, d in items:
+                pr = coef_ref[0, d]
+                pi = coef_ref[1, d]
+                wr = winr[o:o + Bv, :]
+                wi = wini[o:o + Bv, :]
+                qbr = qbr + pr * wr - pi * wi
+                qbi = qbi + pr * wi + pi * wr
+        q_scr[0, pl.ds(j * Bv, Bv), :] = qbr
+        q_scr[1, pl.ds(j * Bv, Bv), :] = qbi
+        dr_ = d_scr[0, pl.ds(j * Bv, Bv), :]
+        di_ = d_scr[1, pl.ds(j * Bv, Bv), :]
+        dqa[0, 0] += jnp.sum(dr_ * qbr - di_ * qbi)
+        dqa[1, 0] += jnp.sum(dr_ * qbi + di_ * qbr)
+
+        @pl.when(j == G - 1)
+        def _():
+            dqr = dqa[0, 0]
+            dqi = dqa[1, 0]
+            der = bd[2, 0]
+            dei = bd[3, 0]
+            done = ((al[2, 0] > 0.5)
+                    | ((der == 0.0) & (dei == 0.0))
+                    | ((dqr == 0.0) & (dqi == 0.0)))
+            sdr = jnp.where(done, 1.0, dqr)
+            sdi = jnp.where(done, 1.0, dqi)
+            ar_, ai_ = _smith_cdiv(der, dei, sdr, sdi)
+            al[0, 0] = jnp.where(done, 0.0, ar_)
+            al[1, 0] = jnp.where(done, 0.0, ai_)
+            al[2, 0] = jnp.where(done, 1.0, 0.0)
+
+            @pl.when(it == K - 1)
+            def _():
+                xn_ref[...] = x_scr[...]
+                rn_ref[...] = r_scr[...]
+                dn_ref[...] = d_scr[...]
+                qn_ref[...] = q_scr[...]
+                alphan_ref[0, 0] = al[0, 0]
+                alphan_ref[1, 0] = al[1, 0]
+                deltan_ref[0, 0] = bd[2, 0]
+                deltan_ref[1, 0] = bd[3, 0]
+
+    scratch = [pltpu.VMEM((2, nv, nh), _F),          # x
+               pltpu.VMEM((2, nv, nh), _F),          # r
+               pltpu.VMEM((2, nv, nh), _F),          # d
+               pltpu.VMEM((2, nv, nh), _F),          # q
+               pltpu.VMEM((2, DS, nh), _F),          # dpd (wrap pads)
+               pltpu.SMEM((3, 1), _F),               # alpha+done
+               pltpu.SMEM((2, 1), _F),               # <d,q>
+               pltpu.SMEM((4, 1), _F)]               # beta,delta
+
+    def step(planes2, beta1, delta1, x, r, d, q):
+        return pl.pallas_call(
+            kernel,
+            grid=(K, G),
+            in_specs=[smem_in, smem_in, coef_spec] + [full] * 4,
+            out_specs=(full, full, full, full, smem_out((2, 1)),
+                       smem_out((2, 1)), smem_out((K, 1))),
+            out_shape=(jax.ShapeDtypeStruct((2, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, nv, nh), _F),
+                       jax.ShapeDtypeStruct((2, 1), _F),
+                       jax.ShapeDtypeStruct((2, 1), _F),
+                       jax.ShapeDtypeStruct((K, 1), _F)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024),
+            interpret=interpret,
+        )(beta1, delta1, planes2, x, r, d, q)
+
+    return step
+
+
+def stream_cg_dia_grid_cplx(taps, grid, Bv, planes2, bg2, x0g2,
+                            n_iterations: int, chunk: int = _CHUNK,
+                            interpret: bool = False):
+    """Complex grid-layout solve: bg2/x0g2 are (2, nv, 128) plane pairs
+    of column-major grids.  Returns (x (2, nv, 128),
+    history (n_iterations+1,)) with history = |<r,r>|^(1/2) per
+    iteration (matches ``block_cg_planes``)."""
+    steps = {}
+
+    def get_step(K):
+        if K not in steps:
+            steps[K] = _build_dia_cplx(taps, grid, Bv, K, interpret)
+        return steps[K]
+
+    r0 = bg2 - dia_apply_grid_cplx(taps, grid, planes2, x0g2)
+    d0r, d0i = _udot2(r0[0], r0[1], r0[0], r0[1])
+    hists = [jnp.sqrt(jnp.sqrt(d0r * d0r + d0i * d0i))[None]]
+    x, r = x0g2, r0
+    d = jnp.zeros_like(bg2)
+    q = jnp.zeros_like(bg2)
+    beta = jnp.zeros((2, 1), _F)
+    delta = jnp.stack([d0r, d0i]).reshape(2, 1)
+    for K in _chunks(n_iterations, chunk):
+        step = get_step(K)
+        x, r, d, q, alpha, delta_pre, hk = step(planes2, beta, delta,
+                                                x, r, d, q)
+        # the kernel's state trails by the final alpha update
+        ar = alpha[0, 0]
+        ai = alpha[1, 0]
+        xr = x[0] + ar * d[0] - ai * d[1]
+        xi = x[1] + ar * d[1] + ai * d[0]
+        rr = r[0] - (ar * q[0] - ai * q[1])
+        ri = r[1] - (ar * q[1] + ai * q[0])
+        x = jnp.stack([xr, xi])
+        r = jnp.stack([rr, ri])
+        dnr, dni = _udot2(rr, ri, rr, ri)
+        done = (((delta_pre[0, 0] == 0.0) & (delta_pre[1, 0] == 0.0))
+                | ((ar == 0.0) & (ai == 0.0)))
+        sdr = jnp.where(done, 1.0, delta_pre[0, 0])
+        sdi = jnp.where(done, 1.0, delta_pre[1, 0])
+        br, bi = _smith_cdiv(dnr, dni, sdr, sdi)
+        beta = jnp.stack([jnp.where(done, 0.0, br),
+                          jnp.where(done, 0.0, bi)]).reshape(2, 1)
+        delta = jnp.stack([dnr, dni]).reshape(2, 1)
+        hists.append(hk[:K - 1, 0])
+        hists.append(jnp.sqrt(jnp.sqrt(dnr * dnr + dni * dni))[None])
+    return x, jnp.concatenate(hists)
+
+
+def to_dia_grid_cplx(z, nv):
+    """complex (n,) -> (2, nv, 128) column-major plane pair."""
+    z = np.asarray(z)
+    return jnp.stack([to_dia_grid(np.ascontiguousarray(z.real), nv),
+                      to_dia_grid(np.ascontiguousarray(z.imag), nv)])
+
+
+def from_dia_grid_cplx(xg2, n):
+    """(2, nv, 128) plane pair -> complex (n,)."""
+    return (np.asarray(from_dia_grid(xg2[0], n))
+            + 1j * np.asarray(from_dia_grid(xg2[1], n)))
+
+
+def stream_cg_dia_cplx(dia, b, x0=None, n_iterations: int = 10,
+                       block_rows: int = None, chunk: int = _CHUNK,
+                       interpret: bool = False):
+    """Complex banded-streaming CG on a complex
+    :class:`tpcg.sparse.DiaMatrix`.  b, x0 : complex (n,) vectors.
+    Returns (x complex (n,), history)."""
+    taps, grid, Bv, planes2 = prepare_dia_stream_cplx(dia, block_rows)
+    nv, _ = grid
+    bg2 = to_dia_grid_cplx(b, nv)
+    x0g2 = (jnp.zeros_like(bg2) if x0 is None
+            else to_dia_grid_cplx(x0, nv))
+    xg2, hist = stream_cg_dia_grid_cplx(taps, grid, Bv, planes2, bg2,
+                                        x0g2, n_iterations, chunk=chunk,
+                                        interpret=interpret)
+    return from_dia_grid_cplx(xg2, int(dia.n)), hist
+
+
+def stream_cg_dia_cplx_block(dia, B, X0=None, n_iterations: int = 10,
+                             block_rows: int = None, chunk: int = _CHUNK,
+                             interpret: bool = False):
+    """Multi-RHS complex banded-streaming CG: ``B``/``X0`` complex
+    (n, nrhs).  Columns run as ONE ``lax.map`` device program of
+    single-RHS kernel solves (block CG shares no cross-RHS state; the
+    complex kernel has no fat-batch tier yet -- at the mhd1280b scale
+    the value stream is VMEM-resident, so there is no coefficient
+    traffic for a fat batch to amortize).  Returns
+    (X complex (n, nrhs), history (n_iterations+1, nrhs))."""
+    taps, grid, Bv, planes2 = prepare_dia_stream_cplx(dia, block_rows)
+    nv, _ = grid
+    n = int(dia.n)
+    B = np.asarray(B)
+    nrhs = B.shape[1]
+    bgs = jnp.stack([to_dia_grid_cplx(B[:, c], nv) for c in range(nrhs)])
+    x0gs = (jnp.zeros_like(bgs) if X0 is None
+            else jnp.stack([to_dia_grid_cplx(np.asarray(X0)[:, c], nv)
+                            for c in range(nrhs)]))
+
+    def one(args):
+        bg2, xg2 = args
+        return stream_cg_dia_grid_cplx(taps, grid, Bv, planes2, bg2,
+                                       xg2, n_iterations, chunk=chunk,
+                                       interpret=interpret)
+
+    xs, hists = jax.lax.map(one, (bgs, x0gs))
+    X = np.stack([from_dia_grid_cplx(xs[c], n)
+                  for c in range(nrhs)], axis=1)
+    return X, np.asarray(hists).T
 
 
 def stream_cg_dia(dia, b, x0=None, n_iterations: int = 10,
