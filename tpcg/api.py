@@ -97,8 +97,8 @@ def _solve_planes(A, B, X0, n_iterations, Pop=None):
             "(enable jax x64 for double precision)", stacklevel=3)
     if (Pop is None and fdt == jnp.float32
             and isinstance(A, DiaMatrix)
-            and np.iscomplexobj(np.asarray(A.data))
-            and jax.default_backend() != "cpu"
+            and np.issubdtype(np.dtype(A.data.dtype), np.complexfloating)
+            and jax.default_backend() == "tpu"
             and dia_stream_cplx_fits(A)):
         # complex banded operands route to the VMEM-resident streaming
         # DIA kernel (the mhd1280b class, report Table I) -- ~9x the

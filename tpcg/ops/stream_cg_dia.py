@@ -208,6 +208,17 @@ def _build_dia_batch(taps, grid, Bv, K, nb, interpret):
         (x_pre, r_pre, dnew, q, alpha (1, nb), delta (1, nb),
          hist (K, nb))
     with the same trailing-update convention as the single-RHS kernel.
+
+    Termination-flag contract: the per-RHS ``done`` flag (``al[1, b]``)
+    latches when ``<d,q>`` or delta reaches EXACT zero and freezes that
+    RHS's recurrence for the remainder of the chunk.  The pinned oracle
+    (``cplx.block_cg_planes``) re-evaluates the guard every iteration
+    and would resume if a later ``<d,q>`` were nonzero, so after an
+    exact-zero underflow WITH delta nonzero (only reachable via f32
+    underflow on a pathological system) the two paths may diverge for
+    up to ``chunk`` iterations before the flag resets at the next chunk
+    boundary.  For delta == 0 (true convergence) both freeze
+    identically; tests pin that case.
     """
     nv, nh = grid
     assert nv % Bv == 0 and Bv % 8 == 0, (nv, Bv)
