@@ -218,15 +218,31 @@ def main():
     except Exception as e:
         print(f"parabolic_fem FAILED: {str(e)[:200]}", flush=True)
 
-    # ---- mhd1280b-class: complex n=1,280 band -> streaming DIA (COCG
-    # twin, state + values VMEM-resident; falls back to the XLA pair
-    # operator if the kernel path fails) ---------------------------------
+    # ---- mhd1280b-class: complex n=1,280 band -> fused whole-solve DIA
+    # (values + state VMEM-resident, iteration loop in-kernel; falls back
+    # to the streaming kernel, then the XLA pair operator) ---------------
     try:
         n = 1280
         A = banded_complex(n, tuple(range(0, 9)), seed=2)   # ~17.8/row
         M = DiaMatrix.from_scipy(A.astype(np.complex64))
         iters = 5000
-        try:
+
+        def _mhd_fused():
+            from tpcg.ops.fused_cg_dia import (fused_cg_dia_grid_cplx,
+                                               fused_dia_cplx_fits)
+            from tpcg.ops.stream_cg_dia import (prepare_dia_stream_cplx,
+                                                to_dia_grid_cplx)
+            assert fused_dia_cplx_fits(M), "fused DIA fit rule rejected"
+            taps, grd, _Bv, planes2 = prepare_dia_stream_cplx(M)
+            planes2 = jax.device_put(planes2)
+            bg2 = jax.device_put(to_dia_grid_cplx(
+                np.ones(n, np.complex64), grd[0]))
+            fn = chained(lambda p, bb: fused_cg_dia_grid_cplx(
+                taps, grd, p, bb, jnp.zeros_like(bb), iters)[1][-1],
+                b_index=1)
+            return time_reps(fn, planes2, bg2)
+
+        def _mhd_stream():
             from tpcg.ops.stream_cg_dia import (prepare_dia_stream_cplx,
                                                 stream_cg_dia_grid_cplx,
                                                 to_dia_grid_cplx)
@@ -237,17 +253,27 @@ def main():
             fn = chained(lambda p, bb: stream_cg_dia_grid_cplx(
                 taps, grd, Bv, p, bb, jnp.zeros_like(bb), iters)[1][-1],
                 b_index=1)
-            dt = time_reps(fn, planes2, bg2)
-        except Exception as e:
-            print(f"mhd1280b dia-stream kernel failed "
-                  f"({str(e)[:120]}); falling back to XLA planes",
-                  flush=True)
+            return time_reps(fn, planes2, bg2)
+
+        def _mhd_xla():
             P = jax.device_put(make_pair_operator(M, dtype=jnp.float32))
             b2 = jnp.stack([jnp.ones((n, 1), jnp.float32),
                             jnp.zeros((n, 1), jnp.float32)])
             fn = chained(lambda P, b: block_cg_planes(
                 P, b, n_iterations=iters).residual_history[-1], b_index=1)
-            dt = time_reps(fn, P, b2)
+            return time_reps(fn, P, b2)
+
+        dt = None
+        for name, path in (("fused-dia", _mhd_fused),
+                           ("dia-stream", _mhd_stream),
+                           ("xla-planes", _mhd_xla)):
+            try:
+                dt = path()
+                break
+            except Exception as e:
+                print(f"mhd1280b {name} path failed ({str(e)[:120]}); "
+                      f"falling back", flush=True)
+        assert dt is not None, "all mhd1280b paths failed"
         record("mhd1280b", n, A.nnz, iters, dt, cplx=True)
     except Exception as e:
         print(f"mhd1280b FAILED: {str(e)[:200]}", flush=True)

@@ -88,6 +88,8 @@ def _solve_planes(A, B, X0, n_iterations, Pop=None):
     from .sparse import DiaMatrix
     from .ops.stream_cg_dia import (dia_stream_cplx_fits,
                                     stream_cg_dia_cplx_block)
+    from .ops.fused_cg_dia import (fused_cg_dia_cplx_block,
+                                   fused_dia_cplx_fits)
 
     dtype = np.asarray(B).dtype
     fdt = jnp.float32 if dtype == np.complex64 else jnp.float64
@@ -98,15 +100,20 @@ def _solve_planes(A, B, X0, n_iterations, Pop=None):
     if (Pop is None and fdt == jnp.float32
             and isinstance(A, DiaMatrix)
             and np.issubdtype(np.dtype(A.data.dtype), np.complexfloating)
-            and jax.default_backend() == "tpu"
-            and dia_stream_cplx_fits(A)):
-        # complex banded operands route to the VMEM-resident streaming
-        # DIA kernel (the mhd1280b class, report Table I) -- ~9x the
-        # XLA pair-operator shift-multiply at that size
-        X, history = stream_cg_dia_cplx_block(
-            A, B, X0, n_iterations=n_iterations,
-            interpret=jax.devices()[0].platform == "cpu")
-        return X.astype(dtype), np.asarray(history)
+            and jax.default_backend() == "tpu"):
+        # complex banded operands route to the DIA kernels (the
+        # mhd1280b class, report Table I): whole-solve fused tier when
+        # everything is VMEM-resident (grid-step overhead dominates at
+        # small n), streaming value pipeline above that
+        interp = jax.devices()[0].platform == "cpu"
+        if fused_dia_cplx_fits(A):
+            X, history = fused_cg_dia_cplx_block(
+                A, B, X0, n_iterations=n_iterations, interpret=interp)
+            return X.astype(dtype), np.asarray(history)
+        if dia_stream_cplx_fits(A):
+            X, history = stream_cg_dia_cplx_block(
+                A, B, X0, n_iterations=n_iterations, interpret=interp)
+            return X.astype(dtype), np.asarray(history)
     if Pop is None:
         Pop = make_pair_operator(A, dtype=fdt)
     res = block_cg_planes(Pop, to_planes(B, fdt),

@@ -177,6 +177,34 @@ def _v4_sym_config(nv, nh):
     return (keep_q, bv) if bv is not None else None
 
 
+def _v5_sym_config(nv, nh, nH1):
+    """(d_resident, block_rows) for the variable-coefficient panel-
+    round-trip kernel (v5-sym), or None.
+
+    Covers SYMMETRIC var-coeff grids beyond the v4-sym resident budget
+    (complex nodes > ~2.7M): the v5 explicit-DMA state-panel machinery
+    with the half coefficient planes streamed through the normal grid
+    pipeline (``tpcg.ops.stream_cg_v5_sym``).  Tier A keeps the
+    direction field resident (fits to ~3400^2); tier B round-trips
+    everything.  Needs 128-aligned lane widths for the state DMAs.
+    nH1 = number of half coefficient planes (centre + one per offset
+    pair; 5 for the 9-point Helmholtz stencils).
+    """
+    from .stream_cg_v5 import _V5_DRES_BYTES
+    if nh % 128 != 0:
+        return None
+    nodes = nv * nh
+    d_res = 8 * nodes <= _V5_DRES_BYTES
+    scratch = 8 * nodes if d_res else 0
+    # bytes per Bv*nh element: state panel staging (rb/xb/rb1/qb
+    # double-buffered + xo/ro/q_scr ~88) + double-buffered half-plane
+    # coefficient windows (16*nH1) + padded coefficient scratch
+    # (8*nH1); tier B adds the d panel stream (~32)
+    win = 24 * nH1 + (96 if d_res else 128)
+    bv = _pick_bv_budget(nv, nh, scratch, win, cap=64)
+    return (d_res, bv) if bv is not None else None
+
+
 def _v4_real_config(nv, nh):
     """(keep_q, block_rows) for the resident REAL v4 kernel, or None.
 
@@ -632,10 +660,14 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                 pass
             symcfg = (_v4_sym_config(nv, nh) if symprep is not None
                       else None)
+            sym5cfg = (_v5_sym_config(nv, nh, len(symprep[0]))
+                       if symprep is not None and symcfg is None
+                       else None)
             v4cfg = (_v4_config(nv, nh, coef=True)
-                     if symcfg is None else None)
+                     if symcfg is None and sym5cfg is None else None)
             v3cfg = (_v3_config(nv, nh, coef=True)
-                     if symcfg is None and v4cfg is None
+                     if symcfg is None and sym5cfg is None
+                     and v4cfg is None
                      and nv * nh >= _V3_NODES else None)
             if symcfg is not None:
                 # CG's symmetry contract halves the coefficient planes:
@@ -655,6 +687,23 @@ def _build_solver(stencil, n_iterations, path, interpret, prepared=None):
                         cp, bp, x0p, n_iterations, keep_q=kq,
                         q_hbm=not kq and nh % 128 == 0, block_rows=bv,
                         interpret=interpret))
+                fn_sym = jax.jit(fn_raw)
+                fn = lambda _s2, bp, x0p: fn_sym(cplanes, bp, x0p)
+                seq_op = cplanes
+                seq_multi = True
+            elif sym5cfg is not None:
+                # beyond the v4-sym resident budget: explicit-DMA state
+                # panel round-trips + half-plane coefficient streaming
+                # (the v5 machinery applied to the var-coeff path).  qx
+                # mode streams the coefficients ONCE per iteration.
+                from .stream_cg_v5_sym import stream_cg_v5_sym_planes
+                half_offs, cplanes = symprep
+                dres, bv = sym5cfg
+                fn_raw = (
+                    lambda cp, bp, x0p: stream_cg_v5_sym_planes(
+                        stencil.offsets, stencil.grid, half_offs,
+                        cp, bp, x0p, n_iterations, d_resident=dres,
+                        qx=True, block_rows=bv, interpret=interpret))
                 fn_sym = jax.jit(fn_raw)
                 fn = lambda _s2, bp, x0p: fn_sym(cplanes, bp, x0p)
                 seq_op = cplanes

@@ -202,10 +202,15 @@ def _init_state(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
 def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
                      coef3: jnp.ndarray, b: jnp.ndarray,
                      x0: jnp.ndarray, n_iterations: int,
-                     interpret: bool = False, packed: bool = None):
+                     interpret: bool = False, packed: bool = None,
+                     unroll: int = 1):
     """Run ``n_iterations`` of block CG on a complex 2-D stencil operator.
 
     offsets : static stencil offsets ((dm, dj), ...).
+    unroll  : iterations per ``fori_loop`` trip (scalar path only;
+              identical fp ops, amortizes loop control on tiny grids --
+              benchmarks/exp_fused128.py).  Requires
+              ``n_iterations % unroll == 0`` to take effect.
     coef3   : (3, noff, Nv, Nh) float32 planes [Ar, Ai, Ar+Ai]
               (build with :func:`prepare_coef3`).
     b, x0   : (2, B, Nv, Nh) float32 RHS / initial-guess planes.
@@ -297,7 +302,16 @@ def fused_cg_stencil(offsets: Tuple[Tuple[int, int], ...],
             return _cg_scalar_step(it, deltas, nb, qr, qi, read_d,
                                    write_d, xr, xi, rr, ri, hist_ref)
 
-        lax.fori_loop(0, n_iterations, body, deltas0)
+        if unroll > 1 and n_iterations % unroll == 0:
+            # identical fp ops, `unroll` iterations per loop trip --
+            # amortizes Mosaic's per-trip loop control on tiny grids
+            def bodyu(tr, deltas):
+                for u in range(unroll):
+                    deltas = body(tr * unroll + u, deltas)
+                return deltas
+            lax.fori_loop(0, n_iterations // unroll, bodyu, deltas0)
+        else:
+            lax.fori_loop(0, n_iterations, body, deltas0)
         xout_ref[0] = xr[...]
         xout_ref[1] = xi[...]
 
