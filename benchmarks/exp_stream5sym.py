@@ -57,16 +57,19 @@ def main():
         return Av, half, cplanes, bp, jnp.zeros_like(bp)
 
     def chain(solver):
-        def body(x0c):
-            x, hist = solver(x0c)
+        # ops (coefficient planes + RHS) ride as jit ARGUMENTS -- closure
+        # constants bake multi-hundred-MB literals into the HLO and the
+        # remote-compile request dies with HTTP 413 (verify SKILL.md)
+        def body(ops, x0c):
+            x, hist = solver(ops, x0c)
             return x0c + (1e-30 * hist[-1]).astype(x0c.dtype), hist[-1]
-        return jax.jit(lambda x_: lax.scan(
-            lambda c, _: body(c), x_, None, length=R)[1])
+        return jax.jit(lambda ops, x_: lax.scan(
+            lambda c, _: body(ops, c), x_, None, length=R)[1])
 
-    def timeit(name, solver, x0p, iters, flops):
+    def timeit(name, solver, ops, x0p, iters, flops):
         fn = chain(solver)
         try:
-            h = np.asarray(fn(x0p))
+            h = np.asarray(fn(ops, x0p))
         except Exception as ex:
             print(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:140]}",
                   flush=True)
@@ -75,7 +78,7 @@ def main():
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(fn(x0p))
+            np.asarray(fn(ops, x0p))
             ts.append(time.perf_counter() - t0)
         dt = min(ts) / (R * iters)
         print(f"{name}: {dt * 1e6:7.1f} us/it  "
@@ -141,21 +144,21 @@ def run_timing(problem, timeit, sizes=(2560, 3072, 4096)):
         for qx in (True, False):
             timeit(f"N={N} sym v5 dres={int(dres)} qx={int(qx)} "
                    f"Bv={bv:<3}",
-                   lambda x_, d=dres, b_=bv, q=qx:
+                   lambda ops, x_, d=dres, b_=bv, q=qx:
                    stream_cg_v5_sym_planes(
-                       Av.offsets, Av.grid, half, cplanes, bp, x_,
+                       Av.offsets, Av.grid, half, ops[0], ops[1], x_,
                        iters, d_resident=d, qx=q, block_rows=b_),
-                   x0p, iters, flops)
+                   (cplanes, bp), x0p, iters, flops)
         coefp = jax.device_put(prepare_stream_coef(Av))
         timeit(f"N={N} coef v3 (old tier)   ",
-               lambda x_: stream_cg_v3_coef_planes(
-                   Av.offsets, Av.grid, coefp, bp, x_, iters,
+               lambda ops, x_: stream_cg_v3_coef_planes(
+                   Av.offsets, Av.grid, ops[0], ops[1], x_, iters,
                    keep_r=True, block_rows=32),
-               x0p, iters, flops)
+               (coefp, bp), x0p, iters, flops)
         timeit(f"N={N} coef v2 (fallback)   ",
-               lambda x_: stream_cg_coef_planes(
-                   Av.offsets, Av.grid, coefp, bp, x_, iters),
-               x0p, iters, flops)
+               lambda ops, x_: stream_cg_coef_planes(
+                   Av.offsets, Av.grid, ops[0], ops[1], x_, iters),
+               (coefp, bp), x0p, iters, flops)
 
 
 if __name__ == "__main__":
