@@ -53,10 +53,17 @@ def main():
     # cannot CSE the repeats into one.
     R = 8
 
+    # packed=True: lane-packed COCG scalars (dot reductions as one MXU
+    # ones-contraction at Precision.HIGHEST instead of the vector reduce
+    # tree) -- 2.32 vs 2.85 us/it measured at this config, parity vs the
+    # XLA oracle 7.8e-4 over the 100-it gate window (round-5 notes /
+    # benchmarks/exp_fused128.py attribution: the apply is ~2.2 us/it of
+    # the total, so this runs within ~5% of the kernel's own apply floor)
     @jax.jit
     def solve_many(coef3, b, x0):
         def body(x0c, _):
-            x, hist = fused_cg_stencil(A.offsets, coef3, b, x0c, iters)
+            x, hist = fused_cg_stencil(A.offsets, coef3, b, x0c, iters,
+                                       packed=True)
             last = hist[-1]
             # data-dependent (but numerically negligible) chaining
             x0n = x0c + (1e-30 * last[0]).astype(x0c.dtype)

@@ -102,9 +102,18 @@ def _packed_reduce(prod, ones_red):
     Sublane-axis ``jnp.sum`` then a ones-matrix MXU contraction: the only
     Mosaic-safe way to carry B independent scalars without the
     small-vector reshapes that crash layout inference (see module
-    docstring / the per-RHS unrolled fallback)."""
+    docstring / the per-RHS unrolled fallback).
+
+    precision=HIGHEST is load-bearing: with the default precision the
+    MXU rounds the f32 inputs to bf16, and the ~1e-3 dot error amplifies
+    through the COCG recurrence (measured on HW: 1e-2 divergence from
+    the XLA oracle by iteration 4, final residual 380x worse --
+    benchmarks/exp_fused128.py round-5 notes).  The contraction is a
+    (B, nh) x (nh, nh) ones-matmul, so the 3-pass f32 algorithm costs
+    nothing measurable."""
     return jnp.dot(jnp.sum(prod, axis=1), ones_red,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _cg_packed_body(nb, nv, nh, apply_q, read_d, write_d, xr, xi, rr, ri,
@@ -148,7 +157,9 @@ def _cg_packed_body(nb, nv, nh, apply_q, read_d, write_d, xr, xi, rr, ri,
     # (B,)-worth of scalars live on the tile diagonal; extract as a (1, B)
     # row via an eye mask + ones contraction (no small-vector reshapes),
     # then a dynamic-sublane store (lane index static).
-    row = jnp.dot(ones_row, histv * eye, preferred_element_type=jnp.float32)
+    row = jnp.dot(ones_row, histv * eye,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     hist_ref[pl.ds(it + 1, 1), 0:nb] = row[0:1, 0:nb]
     be_r, be_i = _cdiv_scalar(dn_r, dn_i,
                               jnp.where(done, 1.0, delta_r),
@@ -175,7 +186,9 @@ def _packed_init(nb, nv, nh, P, b_ref, x0_ref, xr, xi, rr, ri,
     d0r = _packed_reduce(rr[...] * rr[...] - ri[...] * ri[...], ones_red)
     d0i = 2.0 * _packed_reduce(rr[...] * ri[...], ones_red)
     histv = jnp.sqrt(jnp.sqrt(d0r * d0r + d0i * d0i))
-    row = jnp.dot(ones_row, histv * eye, preferred_element_type=jnp.float32)
+    row = jnp.dot(ones_row, histv * eye,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     hist_ref[0:1, 0:nb] = row[0:1, 0:nb]
     return d0r, d0i
 
