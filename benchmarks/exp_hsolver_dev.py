@@ -18,6 +18,15 @@ configs M=2/M=4, W=34, CGMaxIT=256, k=20 (``p_h-PY_C-CL-multi-GPU.py:
 3607, 3639-3675``; timing protocol :3708-3712, 1807-1827).  Planes
 layout, fused-Pallas subdomain CG (the production single-device path).
 
+Timing is SLOPE-based: every program is measured at two chain lengths
+and the per-step cost is (t(L2) - t(L1)) / (L2 - L1).  A single
+readback through the tunnel costs a fixed ~28 ms (verify SKILL.md /
+exp_floor.py); dividing one run by its chain length adds 28/L ms of
+phantom per-step cost -- at L=8 that is +3.5 ms/it, LARGER than the
+true stage costs here (it made the round-4 exp_prec_tpu numbers ~8x
+too big and this probe's first draft attributed negative time to
+ax_op).  The slope cancels every fixed term exactly.
+
     timeout 3000 python -u benchmarks/exp_hsolver_dev.py > /tmp/hsdev.log 2>&1
 """
 import os
@@ -29,8 +38,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 C = 8        # Arnoldi steps per fused chunk (production fgmres_chunk)
-NC = 4       # chunks chained back-to-back -> NC*C iterations/readback
-R = 8        # chain length for the isolated stage programs
+NC = 4       # chunks per Arnoldi program -> K = NC*C Krylov budget
+L1, L2 = 2, 8   # chain lengths for the slope (stage = L scan steps;
+                # full = L whole K-iteration Arnoldi restarts)
 
 
 def main():
@@ -46,21 +56,31 @@ def main():
 
     K = NC * C   # Krylov budget for the chained-chunk program
 
-    def timeit(name, fn, *args, nit=1):
+    def timeit(name, make_fn, *args, per_step=1):
+        """Slope timing: make_fn(L) -> jitted chain of L steps; cost of
+        one step = (min-of-3 t(L2) - min-of-3 t(L1)) / (L2 - L1), then
+        / per_step inner iterations."""
         try:
-            h = np.asarray(fn(*args))
+            fns = {L: make_fn(L) for L in (L1, L2)}
+            hs = {L: np.asarray(fns[L](*args)) for L in (L1, L2)}
         except Exception as ex:
             print(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:140]}",
                   flush=True)
             return None
-        assert np.all(np.isfinite(h)), (name, h)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(fn(*args))
-            ts.append(time.perf_counter() - t0)
-        dt = min(ts) / nit
-        print(f"{name}: {dt * 1e3:8.3f} ms/it", flush=True)
+        for L in (L1, L2):
+            assert np.all(np.isfinite(hs[L])), (name, L, hs[L])
+        t = {}
+        for L in (L1, L2):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(fns[L](*args))
+                ts.append(time.perf_counter() - t0)
+            t[L] = min(ts)
+        dt = (t[L2] - t[L1]) / (L2 - L1) / per_step
+        print(f"{name}: {dt * 1e3:8.3f} ms/it  "
+              f"(slope over L={L1}/{L2}; raw {t[L1] * 1e3:.1f}/"
+              f"{t[L2] * 1e3:.1f} ms)", flush=True)
         return dt
 
     for M in (2, 4):
@@ -95,50 +115,55 @@ def main():
               f"chunk={C} ==", flush=True)
 
         # ---- stage 1: preconditioner alone (exp_prec_tpu twin) -------
-        @jax.jit
-        def prec_chain(pair, lu, z0):
-            def body(zc, _):
-                v = sp.apply_with(pair, lu, zc)
-                return zc + (1e-30 * v[0, 0, 0, 0, 0]) * jnp.ones_like(zc), \
-                    v[0, 0, 0, 0, 0]
-            return lax.scan(body, z0, None, length=R)[1]
+        def make_prec(L):
+            @jax.jit
+            def prec_chain(pair, lu, z0):
+                def body(zc, _):
+                    v = sp.apply_with(pair, lu, zc)
+                    return zc + (1e-30 * v[0, 0, 0, 0, 0]) \
+                        * jnp.ones_like(zc), v[0, 0, 0, 0, 0]
+                return lax.scan(body, z0, None, length=L)[1]
+            return prec_chain
 
-        t_prec = timeit("  prec (ORAS fused)      ", prec_chain,
-                        pair, lu, z, nit=R)
+        t_prec = timeit("  prec (ORAS fused)      ", make_prec,
+                        pair, lu, z)
 
         # ---- stage 2: preconditioner + halo matvec --------------------
-        @jax.jit
-        def pm_chain(c, pair, lu, z0):
-            def body(zc, _):
-                v = sp.apply_with(pair, lu, zc)
-                pp = mv(c, v)
-                return zc + (1e-30 * pp[0, 0, 0, 0, 0]) * jnp.ones_like(zc), \
-                    pp[0, 0, 0, 0, 0]
-            return lax.scan(body, z0, None, length=R)[1]
+        def make_pm(L):
+            @jax.jit
+            def pm_chain(c, pair, lu, z0):
+                def body(zc, _):
+                    v = sp.apply_with(pair, lu, zc)
+                    pp = mv(c, v)
+                    return zc + (1e-30 * pp[0, 0, 0, 0, 0]) \
+                        * jnp.ones_like(zc), pp[0, 0, 0, 0, 0]
+                return lax.scan(body, z0, None, length=L)[1]
+            return pm_chain
 
-        t_pm = timeit("  prec + ax_op           ", pm_chain,
-                      coef, pair, lu, z, nit=R)
+        t_pm = timeit("  prec + ax_op           ", make_pm,
+                      coef, pair, lu, z)
 
         # ---- stage 3: CGS tail on a K+1 basis --------------------------
         VV0 = jax.device_put(jnp.asarray(rng.standard_normal(
             (K + 1, 2, M, M, S, S)).astype(np.float32)))
 
-        @jax.jit
-        def cgs_chain(VV, p0):
-            active = jnp.ones((K + 1,), jnp.float32)
+        def make_cgs(L):
+            @jax.jit
+            def cgs_chain(VV, p0):
+                active = jnp.ones((K + 1,), jnp.float32)
 
-            def body(pc, _):
-                d1 = wdot(VV, pc) * active
-                pp = pc - _lincomb_dev_planes(d1, VV)
-                d2 = wdot(VV, pp) * active
-                pp = pp - _lincomb_dev_planes(d2, VV)
-                h = norm(pp)
-                safe = jnp.where(h == 0, 1.0, h)
-                return pp / safe.astype(pp.dtype), h
-            return lax.scan(body, p0, None, length=R)[1]
+                def body(pc, _):
+                    d1 = wdot(VV, pc) * active
+                    pp = pc - _lincomb_dev_planes(d1, VV)
+                    d2 = wdot(VV, pp) * active
+                    pp = pp - _lincomb_dev_planes(d2, VV)
+                    h = norm(pp)
+                    safe = jnp.where(h == 0, 1.0, h)
+                    return pp / safe.astype(pp.dtype), h
+                return lax.scan(body, p0, None, length=L)[1]
+            return cgs_chain
 
-        t_cgs = timeit("  2-pass CGS + update    ", cgs_chain, VV0, z,
-                       nit=R)
+        t_cgs = timeit("  2-pass CGS + update    ", make_cgs, VV0, z)
 
         # ---- full fused Arnoldi chunks, chained ------------------------
         def chunk(ops, VV, MV, kk0):
@@ -167,23 +192,32 @@ def main():
             [decomp.crop_grid(b_global).real,
              decomp.crop_grid(b_global).imag]).astype(np.float32)))
 
-        @jax.jit
-        def full_chain(c, pair_, lu_, b0):
-            nb = norm(b0)
-            VV = jnp.zeros((K + 1, 2, M, M, S, S), jnp.float32)
-            VV = VV.at[0].set(b0 / nb.astype(b0.dtype))
-            MV = jnp.zeros_like(VV)
+        def make_full(L):
+            # L whole K-iteration Arnoldi programs restarted
+            # back-to-back (b perturbed so XLA cannot CSE the restarts);
+            # per-step = one K-iteration Arnoldi, so per_step=K inner
+            # iterations in the slope
+            @jax.jit
+            def full_chain(c, pair_, lu_, b0):
+                def restart(bc, _):
+                    nb = norm(bc)
+                    VV = jnp.zeros((K + 1, 2, M, M, S, S), jnp.float32)
+                    VV = VV.at[0].set(bc / nb.astype(bc.dtype))
+                    MV = jnp.zeros_like(VV)
 
-            def body(carry, kk0):
-                VV, MV = carry
-                VV, MV, hs = chunk((c, pair_, lu_), VV, MV, kk0)
-                return (VV, MV), hs
-            (_VV, _MV), hs = lax.scan(body, (VV, MV),
-                                      jnp.arange(NC) * C)
-            return hs
+                    def body(carry, kk0):
+                        VV, MV = carry
+                        VV, MV, hs = chunk((c, pair_, lu_), VV, MV, kk0)
+                        return (VV, MV), hs
+                    (VV, _MV), hs = lax.scan(body, (VV, MV),
+                                             jnp.arange(NC) * C)
+                    return bc + (1e-30 * jnp.ravel(hs)[-1]) \
+                        * jnp.ones_like(bc), hs
+                return lax.scan(restart, b0, None, length=L)[1]
+            return full_chain
 
-        t_full = timeit(f"  FULL Arnoldi iteration ", full_chain,
-                        coef, pair, lu, bg, nit=NC * C)
+        t_full = timeit(f"  FULL Arnoldi iteration ", make_full,
+                        coef, pair, lu, bg, per_step=K)
 
         if None not in (t_prec, t_pm, t_cgs, t_full):
             t_ax = t_pm - t_prec
