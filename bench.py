@@ -37,21 +37,24 @@ def main():
                     .astype(np.float32))
     x0 = jnp.zeros_like(b)
 
-    # Timing protocol: R independent whole solves run back-to-back in ONE
-    # device program, one scalar readback at the end, per-solve time =
-    # total / R.  Rationale: block_until_ready does not fence on this
+    # Timing protocol: SLOPE over two chain lengths.  R independent
+    # whole solves run back-to-back in ONE device program with one
+    # scalar readback; per-solve device time = (t(R2) - t(R1)) /
+    # (R2 - R1).  Rationale: block_until_ready does not fence on this
     # tunneled backend, so the only sync is a device->host readback --
-    # which costs a measured ~27 ms round-trip through the tunnel (an
+    # which costs a fixed ~27 ms round-trip through the tunnel (an
     # artifact of this connection, not of the chip: an empty 5000-trip
     # kernel loop times identically to zero work plus the round-trip;
-    # benchmarks/exp_floor.py).  A single 5000-iteration solve is ~15 ms
-    # of device time, so timing one solve per readback would report the
-    # tunnel, not the solver.  The reference's protocol times kernels
-    # with device-resident buffers (report section V); amortizing the
-    # fixed transfer across R solves matches it.  Each solve is chained
+    # benchmarks/exp_floor.py).  A single 5000-iteration solve is ~8 ms
+    # of device time, so one solve per readback would report the tunnel,
+    # and even total/R at R=8 still charges ~3.4 ms of tunnel to every
+    # solve (~30% of the truth).  The slope cancels every fixed
+    # per-readback term exactly and reports pure device time -- which is
+    # what the reference's protocol reports too (kernel times on
+    # device-resident buffers, report section V).  Each solve is chained
     # through a ~1e-33 perturbation of the next initial guess so XLA
     # cannot CSE the repeats into one.
-    R = 8
+    R1, R2 = 2, 10
 
     # packed=True: lane-packed COCG scalars (dot reductions as one MXU
     # ones-contraction at Precision.HIGHEST instead of the vector reduce
@@ -59,21 +62,26 @@ def main():
     # XLA oracle 7.8e-4 over the 100-it gate window (round-5 notes /
     # benchmarks/exp_fused128.py attribution: the apply is ~2.2 us/it of
     # the total, so this runs within ~5% of the kernel's own apply floor)
-    @jax.jit
-    def solve_many(coef3, b, x0):
-        def body(x0c, _):
-            x, hist = fused_cg_stencil(A.offsets, coef3, b, x0c, iters,
-                                       packed=True)
-            last = hist[-1]
-            # data-dependent (but numerically negligible) chaining
-            x0n = x0c + (1e-30 * last[0]).astype(x0c.dtype)
-            return x0n, last
-        _, lasts = jax.lax.scan(body, x0, None, length=R)
-        return lasts
+    def make_many(R):
+        @jax.jit
+        def solve_many(coef3, b, x0):
+            def body(x0c, _):
+                x, hist = fused_cg_stencil(A.offsets, coef3, b, x0c,
+                                           iters, packed=True)
+                last = hist[-1]
+                # data-dependent (but numerically negligible) chaining
+                x0n = x0c + (1e-30 * last[0]).astype(x0c.dtype)
+                return x0n, last
+            _, lasts = jax.lax.scan(body, x0, None, length=R)
+            return lasts
+        return solve_many
+
+    solve_many_1, solve_many_2 = make_many(R1), make_many(R2)
 
     # warmup: compile + make buffers resident
-    rn = np.asarray(solve_many(coef3, b, x0))
-    assert np.all(np.isfinite(rn)), rn
+    for fn in (solve_many_1, solve_many_2):
+        rn = np.asarray(fn(coef3, b, x0))
+        assert np.all(np.isfinite(rn)), rn
 
     # Parity gate: the compiled fused kernel's residual history must match
     # an independent XLA streaming program (block_cg_planes) on the same
@@ -107,12 +115,15 @@ def main():
             "refusing to report GFLOPS")
 
     reps = 4
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(solve_many(coef3, b, x0))
-        times.append(time.perf_counter() - t0)
-    dt = min(times) / R
+    t = {}
+    for R, fn in ((R1, solve_many_1), (R2, solve_many_2)):
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(coef3, b, x0))
+            times.append(time.perf_counter() - t0)
+        t[R] = min(times)
+    dt = (t[R2] - t[R1]) / (R2 - R1)
 
     flops_per_iter = 8 * nnz + 2 * 8 * n + 3 * 8 * n
     gflops = iters * flops_per_iter / dt / 1e9
