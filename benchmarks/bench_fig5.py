@@ -1,4 +1,4 @@
-"""Reference Fig. 5 headline suite (round-trip-amortized timing): CG GFLOPS on synthetic analogues of
+"""Reference Fig. 5 headline suite (slope device timing): CG GFLOPS on synthetic analogues of
 all five report matrices (report Table I / Fig. 5, RTX 2080S numbers).
 
 SuiteSparse files are not redistributable here (zero-egress sandbox), so
@@ -77,44 +77,53 @@ def banded_complex(n, offsets, seed=0):
     return (A + A.T) * 0.5  # complex-symmetric (COCG territory)
 
 
-R_CHAIN = 4
+R1_CHAIN, R2_CHAIN = 2, 6
 
 
 def chained(solver, b_index):
-    """solver(*args) -> per-RHS last residual; returns a jitted runner
-    executing R_CHAIN solves back-to-back in one program (the b operand
-    perturbed by 1e-30 * previous result so XLA cannot CSE the repeats)
-    with ONE readback -- the ~27 ms tunnel round-trip otherwise
-    dominates sub-100 ms solves (benchmarks/exp_floor.py)."""
+    """solver(*args) -> per-RHS last residual; returns jitted runners at
+    the two slope chain lengths, each executing L solves back-to-back in
+    one program (the b operand perturbed by 1e-30 * previous result so
+    XLA cannot CSE the repeats) with ONE readback.  Per-solve time is
+    the SLOPE (t(L2) - t(L1)) / (L2 - L1): the ~27 ms tunnel round-trip
+    per readback (benchmarks/exp_floor.py) otherwise charges 27/L ms to
+    every solve -- ~45% of a helm_fem solve at the old divide-by-4
+    protocol.  The slope cancels every fixed per-readback term."""
     import jax
     import jax.numpy as jnp
 
-    def run(*args):
-        args = list(args)
-        b0 = args[b_index]
+    def make(L):
+        def run(*args):
+            args = list(args)
+            b0 = args[b_index]
 
-        def body(carry, _):
-            a = list(args)
-            a[b_index] = b0 + (1e-30 * carry).astype(b0.dtype)
-            last = solver(*a)
-            return jnp.max(last).astype(jnp.float32), last
+            def body(carry, _):
+                a = list(args)
+                a[b_index] = b0 + (1e-30 * carry).astype(b0.dtype)
+                last = solver(*a)
+                return jnp.max(last).astype(jnp.float32), last
 
-        _, lasts = jax.lax.scan(body, jnp.float32(0.0), None,
-                                length=R_CHAIN)
-        return lasts
+            _, lasts = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=L)
+            return lasts
 
-    return jax.jit(run)
+        return jax.jit(run)
+
+    return {L: make(L) for L in (R1_CHAIN, R2_CHAIN)}
 
 
-def time_reps(fn, *args, reps=3):
-    rn = np.asarray(fn(*args))
-    assert np.all(np.isfinite(rn)), rn
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / R_CHAIN
+def time_reps(fns, *args, reps=3):
+    t = {}
+    for L, fn in fns.items():
+        rn = np.asarray(fn(*args))
+        assert np.all(np.isfinite(rn)), rn
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        t[L] = min(ts)
+    return (t[R2_CHAIN] - t[R1_CHAIN]) / (R2_CHAIN - R1_CHAIN)
 
 
 def main():
@@ -293,7 +302,7 @@ def main():
         x0 = jnp.zeros_like(b)
         iters = 5000
         fn = chained(lambda c, b, x: fused_cg_stencil(
-            A.offsets, c, b, x, iters)[1][-1], b_index=1)
+            A.offsets, c, b, x, iters, packed=True)[1][-1], b_index=1)
         dt = time_reps(fn, coef3, b, x0)
         record("helm_fem", n, nnz, iters, dt, cplx=True)
     except Exception as e:

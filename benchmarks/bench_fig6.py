@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bench_general_sparse import banded_spd  # noqa: E402
 
-R_CHAIN = 2
+R1_CHAIN, R2_CHAIN = 2, 6   # slope chain lengths (fixed ~27 ms tunnel
+                            # readback cancels in t(L2)-t(L1))
 ITERS = 200
 BS = (1, 2, 3, 4, 6, 8, 10, 12, 16, 20, 47)
 REF_B1 = 7.899     # report Fig. 5 m_t1 single-RHS GFLOPS
@@ -99,31 +100,39 @@ def main():
                     jnp.zeros_like(bg), ITERS)
                 return h.T
 
-        @jax.jit
-        def chain(p, bgs_):
-            def body(carry, _):
-                hs = lax.map(one, bgs_ + (1e-30 * carry).astype(
-                    jnp.float32))
-                return jnp.max(hs[:, :, -1]), hs
-            return lax.scan(body, jnp.float32(0.0), None,
-                            length=R_CHAIN)[1]
+        def make_chain(L):
+            @jax.jit
+            def chain(p, bgs_):
+                def body(carry, _):
+                    hs = lax.map(one, bgs_ + (1e-30 * carry).astype(
+                        jnp.float32))
+                    return jnp.max(hs[:, :, -1]), hs
+                return lax.scan(body, jnp.float32(0.0), None,
+                                length=L)[1]
+            return chain
 
+        chains = {L: make_chain(L) for L in (R1_CHAIN, R2_CHAIN)}
         try:
-            hs = np.asarray(chain(planes, bgs))   # (R, nblk, nb, it+1)
+            hs = np.asarray(chains[R1_CHAIN](planes, bgs))
         except Exception as ex:
             print(f"b={b}: FAILED {type(ex).__name__}: {str(ex)[:140]}",
                   flush=True)
             continue
-        assert np.all(np.isfinite(hs)), b
+        assert np.all(np.isfinite(hs)), b     # (R, nblk, nb, it+1)
         h0 = hs[0].reshape(nblk * nb, ITERS + 1)[0]
         gates = "bit-equal" if np.array_equal(h0, h_single) else \
             f"max rel {np.max(np.abs(h0 - h_single) / (np.abs(h_single) + 1e-30)):.1e}"
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(chain(planes, bgs))
-            ts.append(time.perf_counter() - t0)
-        dt = min(ts) / R_CHAIN / ITERS        # s per iteration (all RHS)
+        t = {}
+        for L in (R1_CHAIN, R2_CHAIN):
+            np.asarray(chains[L](planes, bgs))   # warm both programs
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(chains[L](planes, bgs))
+                ts.append(time.perf_counter() - t0)
+            t[L] = min(ts)
+        # s per iteration (all RHS); slope cancels the fixed readback
+        dt = (t[R2_CHAIN] - t[R1_CHAIN]) / (R2_CHAIN - R1_CHAIN) / ITERS
         per_rhs = dt / b
         gf_rhs = flops_it / per_rhs / 1e9
         gf_tot = b * flops_it / dt / 1e9

@@ -172,24 +172,32 @@ def main():
               f"{str(ex)[:140]}", flush=True)
         fused_ok = False
 
-    REPS = 50
+    # slope over two chain lengths: the fixed ~27 ms readback otherwise
+    # charges 27/REPS ms to every SpMV (verify SKILL.md)
+    REPS1, REPS2 = 10, 50
 
     def timeit(name, call, args, nrhs=1):
-        @jax.jit
-        def many(*a):
-            def body(g, _):
-                out = call(*a[:-1], g)
-                return out * 1e-20 + a[-1], out[..., 0, 0]
-            return lax.scan(body, a[-1], None, length=REPS)[1]
+        def make(REPS):
+            @jax.jit
+            def many(*a):
+                def body(g, _):
+                    out = call(*a[:-1], g)
+                    return out * 1e-20 + a[-1], out[..., 0, 0]
+                return lax.scan(body, a[-1], None, length=REPS)[1]
+            return many
 
-        r0 = np.asarray(many(*args))
-        assert np.all(np.isfinite(r0)), (name, r0)
-        ts = []
-        for _ in range(4):
-            t0 = time.perf_counter()
-            np.asarray(many(*args))
-            ts.append(time.perf_counter() - t0)
-        dt = min(ts) / REPS / nrhs
+        t = {}
+        for REPS in (REPS1, REPS2):
+            many = make(REPS)
+            r0 = np.asarray(many(*args))
+            assert np.all(np.isfinite(r0)), (name, r0)
+            ts = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                np.asarray(many(*args))
+                ts.append(time.perf_counter() - t0)
+            t[REPS] = min(ts)
+        dt = (t[REPS2] - t[REPS1]) / (REPS2 - REPS1) / nrhs
         gf = (2 * nnz + 2 * n) / dt / 1e9
         print(f"{name:14s}: {dt * 1e3:6.2f} ms/SpMV/RHS   "
               f"{gf:5.1f} GFLOPS", flush=True)

@@ -132,6 +132,37 @@ def test_fused_dia_fit_rule():
     assert not fused_dia_cplx_fits(big)
 
 
+def test_fused_dia_denormal_freeze():
+    """Deep-converged run stays frozen: when |delta|^2 underflows (but
+    delta itself is denormal-nonzero) the recurrence must freeze, not
+    keep dividing by garbage-scale scalars -- pre-fix this exact
+    problem's residual displayed 0 for ~90 iterations and then grew
+    geometrically to overflow (inf at iteration ~261; round-5 notes /
+    ``stream_cg._mag2_zero``)."""
+    n = 1280
+    A = _banded_complex(n, tuple(range(0, 9)), seed=2)
+    # weak diagonal -> converges below the f32 |delta|^2 range fast
+    A = A - sp.eye(n) * (A.diagonal()[0] - (1.2 + 0.25j) * 2) * 0.5
+    M = DiaMatrix.from_scipy(sp.csr_matrix(A.astype(np.complex64)))
+    rng = np.random.default_rng(4)
+    b = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64)
+    iters = 400
+    x, hist = fused_cg_dia_cplx(M, b, n_iterations=iters, interpret=True)
+    hist = np.asarray(hist)
+    assert np.all(np.isfinite(hist)), np.where(~np.isfinite(hist))[0][:3]
+    z = np.where(hist == 0)[0]
+    if len(z):     # once the displayed history hits zero it stays there
+        assert np.all(hist[z[0]:] == 0.0), (z[0], hist[z[0]:][:5])
+    xs_, hs_ = stream_cg_dia_cplx(M, b, n_iterations=iters,
+                                  interpret=True)
+    hs_ = np.asarray(hs_)
+    assert np.all(np.isfinite(hs_))
+    live = hs_ > 1e-6 * hs_[0]
+    rel = np.abs(hist[live] - hs_[live]) / hs_[live]
+    assert rel.max() < 1e-3, rel.max()
+
+
 def test_fused_dia_converged_freeze():
     """delta == 0 (true convergence mid-chunk) freezes the recurrence:
     residual history stays at zero and x stops changing -- the oracle's

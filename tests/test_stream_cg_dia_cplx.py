@@ -166,10 +166,12 @@ def test_block_multirhs_cplx_matches_single():
         np.testing.assert_allclose(H[live, c], hc[live], rtol=2e-4)
 
 
-def test_api_cplx_banded_dispatches_dia_stream(monkeypatch):
+def test_api_cplx_banded_dispatches_dia_kernels(monkeypatch):
     """``_solve_planes`` routes complex banded DiaMatrix operands to
-    the streaming kernel on TPU backends (forced here with the
-    interpret kernel) and the solution matches scipy spsolve."""
+    the DIA kernel tiers on TPU backends (forced here with the
+    interpret kernel): the fused whole-solve tier first (small
+    VMEM-resident operands, the mhd1280b class), the streaming kernel
+    when the fused fit rule refuses; solutions match scipy spsolve."""
     import scipy.sparse.linalg as spla
     import jax
     from tpcg import api
@@ -182,25 +184,40 @@ def test_api_cplx_banded_dispatches_dia_stream(monkeypatch):
          + 1j * rng.standard_normal((n, nrhs))).astype(np.complex64)
 
     called = {}
+    import tpcg.ops.fused_cg_dia as fd
     import tpcg.ops.stream_cg_dia as sd
-    orig = sd.stream_cg_dia_cplx_block
+    orig_f = fd.fused_cg_dia_cplx_block
+    orig_s = sd.stream_cg_dia_cplx_block
 
-    def spy(*a, **k):
-        called["yes"] = True
-        return orig(*a, **k)
+    def spy_f(*a, **k):
+        called.setdefault("order", []).append("fused")
+        return orig_f(*a, **k)
 
-    monkeypatch.setattr(sd, "stream_cg_dia_cplx_block", spy)
+    def spy_s(*a, **k):
+        called.setdefault("order", []).append("stream")
+        return orig_s(*a, **k)
+
+    monkeypatch.setattr(fd, "fused_cg_dia_cplx_block", spy_f)
+    monkeypatch.setattr(sd, "stream_cg_dia_cplx_block", spy_s)
     # _solve_planes gates on the default backend; force the TPU branch
-    # while the kernel itself runs in interpret mode (CPU devices)
+    # while the kernels themselves run in interpret mode (CPU devices)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
     X, H = api._solve_planes(A, B, None, iters)
-    assert called.get("yes")
+    assert called["order"] == ["fused"]
     assert X.shape == (n, nrhs) and H.shape == (iters + 1, nrhs)
     for c in range(nrhs):
         xs = spla.spsolve(As.astype(np.complex128).tocsc(),
                           B[:, c].astype(np.complex128))
         np.testing.assert_allclose(X[:, c], xs, rtol=0,
                                    atol=1e-3 * np.abs(xs).max())
+
+    # operands past the fused budget fall to the streaming kernel
+    called["order"] = []
+    monkeypatch.setattr(fd, "fused_dia_cplx_fits", lambda *a, **k: False)
+    X2, _H2 = api._solve_planes(A, B, None, iters)
+    assert called["order"] == ["stream"]
+    np.testing.assert_allclose(X2, X, rtol=0, atol=2e-4 * np.abs(X).max())
 
 
 def test_dia_stream_cplx_fit_rule():

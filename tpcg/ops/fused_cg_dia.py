@@ -30,7 +30,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stream_cg import _smith_cdiv
+from .stream_cg import _mag2_zero, _smith_cdiv
 from .stream_cg_dia import (_NH, _halo_depth, from_dia_grid_cplx,
                             prepare_dia_stream_cplx, to_dia_grid_cplx)
 
@@ -138,8 +138,10 @@ def _build_fused_dia_cplx(taps, grid, K, interpret):
             qr, qi = apply_pad()
             dqr = jnp.sum(dnr * qr - dni * qi)
             dqi = jnp.sum(dnr * qi + dni * qr)
-            done = (((der == 0.0) & (dei == 0.0))
-                    | ((dqr == 0.0) & (dqi == 0.0)))
+            # |.|^2-underflow freeze (see stream_cg._mag2_zero): exact-
+            # zero tests miss denormal deltas and the un-frozen
+            # recurrence grows to overflow post-convergence
+            done = _mag2_zero(der, dei) | _mag2_zero(dqr, dqi)
             ar, ai = _smith_cdiv(der, dei,
                                  jnp.where(done, 1.0, dqr),
                                  jnp.where(done, 1.0, dqi))

@@ -146,6 +146,23 @@ def _smith_cdiv(ar, ai, br, bi):
     return (ar * b0 + ai * b1) / dd, (ai * b0 - ar * b1) / dd
 
 
+def _mag2_zero(ar, ai):
+    """Freeze trigger for the COCG recurrences: True when |a|^2
+    underflows to exact zero in f32.
+
+    Testing the squared magnitude instead of ``(ar == 0) & (ai == 0)``
+    also catches DENORMAL-range scalars: a delta of ~1e-30 passes the
+    exact-zero test, so the recurrence keeps dividing by garbage-scale
+    quantities -- measured on an mhd1280b-class solve, the residual
+    history displays 0 (its fourth root of |delta|^2 underflows) for
+    ~90 iterations and then the un-frozen recurrence wakes up and grows
+    geometrically to overflow (round-5 notes).  |delta|^2 == 0 fires
+    exactly when the DISPLAYED history hits zero, so "history shows 0"
+    and "recurrence frozen" coincide; live trajectories (|delta| >>
+    1e-19) are bit-unaffected."""
+    return ar * ar + ai * ai == 0.0
+
+
 def _build_kernels(offsets, grid, taps, Bv, interpret=False):
     """Build (k1, k2) pallas callables for one (grid, Bv) configuration.
 

@@ -45,7 +45,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stream_cg import _smith_cdiv
+from .stream_cg import _mag2_zero, _smith_cdiv
 
 _F = jnp.float32
 _NH = 128
@@ -647,9 +647,11 @@ def _build_dia_cplx(taps, grid, Bv, K, interpret):
             dqi = dqa[1, 0]
             der = bd[2, 0]
             dei = bd[3, 0]
+            # |.|^2-underflow freeze (stream_cg._mag2_zero): exact-zero
+            # tests miss denormal deltas -> post-convergence overflow
             done = ((al[2, 0] > 0.5)
-                    | ((der == 0.0) & (dei == 0.0))
-                    | ((dqr == 0.0) & (dqi == 0.0)))
+                    | _mag2_zero(der, dei)
+                    | _mag2_zero(dqr, dqi))
             sdr = jnp.where(done, 1.0, dqr)
             sdi = jnp.where(done, 1.0, dqi)
             ar_, ai_ = _smith_cdiv(der, dei, sdr, sdi)
@@ -736,7 +738,7 @@ def stream_cg_dia_grid_cplx(taps, grid, Bv, planes2, bg2, x0g2,
         x = jnp.stack([xr, xi])
         r = jnp.stack([rr, ri])
         dnr, dni = _udot2(rr, ri, rr, ri)
-        done = (((delta_pre[0, 0] == 0.0) & (delta_pre[1, 0] == 0.0))
+        done = (_mag2_zero(delta_pre[0, 0], delta_pre[1, 0])
                 | ((ar == 0.0) & (ai == 0.0)))
         sdr = jnp.where(done, 1.0, delta_pre[0, 0])
         sdi = jnp.where(done, 1.0, delta_pre[1, 0])
