@@ -134,11 +134,12 @@ def main():
         # s per iteration (all RHS); slope cancels the fixed readback
         dt = (t[R2_CHAIN] - t[R1_CHAIN]) / (R2_CHAIN - R1_CHAIN) / ITERS
         per_rhs = dt / b
-        gf_rhs = flops_it / per_rhs / 1e9
+        # aggregate GFLOPS == per-RHS flops over amortized per-RHS time
+        # (b*flops_it/dt); one number, per report Fig. 6's accounting
         gf_tot = b * flops_it / dt / 1e9
-        rows.append((b, nb, per_rhs * 1e6, gf_rhs, gf_tot, gates))
+        rows.append((b, nb, per_rhs * 1e6, gf_tot, gates))
         print(f"b={b:3d} (nb={nb}): {per_rhs * 1e6:7.2f} us/it/RHS  "
-              f"{gf_rhs:7.1f} GF/RHS  {gf_tot:7.1f} GF total  "
+              f"{gf_tot:7.1f} GF aggregate  "
               f"[col0 vs single: {gates}]", flush=True)
 
     out = ["# Reference Fig. 6 analogue (RHS-block scaling, TPU v5e)",
@@ -152,12 +153,12 @@ def main():
            f"at b~20, resource cliff at b=47; single-RHS "
            f"{REF_B1} GFLOPS).",
            "",
-           "| b | nb per pass | us/it/RHS | GFLOPS/RHS | GFLOPS total "
+           "| b | nb per pass | us/it/RHS | GFLOPS aggregate "
            "| vs ref b=1 | col0 parity |",
-           "|---|---|---|---|---|---|---|"]
-    for b, nb, us, gr, gt, gates in rows:
-        out.append(f"| {b} | {nb} | {us:.2f} | {gr:.1f} | {gt:.1f} | "
-                   f"{gr / REF_B1:.1f}x | {gates} |")
+           "|---|---|---|---|---|---|"]
+    for b, nb, us, gt, gates in rows:
+        out.append(f"| {b} | {nb} | {us:.2f} | {gt:.1f} | "
+                   f"{gt / REF_B1:.1f}x | {gates} |")
     out += ["",
             "No b=47 cliff: past the VMEM fit rule (nb=8) the batched "
             "kernel simply runs ceil(b/8) fat passes per `lax.map` "
@@ -165,7 +166,16 @@ def main():
             "ragged-tail zero-RHS padding, counted against the "
             "per-RHS numbers above).  The reference's cliff is a "
             "register/occupancy artifact of its monolithic kernel "
-            "(report SV)."]
+            "(report SV).",
+            "",
+            "Parity gate: b=1 is bit-equal to the single-RHS kernel. "
+            "For nb>1 the fat kernel's per-RHS scalar reductions run "
+            "in a different lane packing; measured drift (HW probe, "
+            "200 it): histories agree to <=1.3e-5 everywhere except a "
+            "single-iteration 1.1e-2 blip at it 144 on the fully "
+            "converged plateau (residual ~7e-19 = 1e-21x initial by "
+            "it ~25).  Solutions are pinned bitwise-equal per column "
+            "in tests/test_stream_cg_dia.py."]
     path = os.path.join(os.path.dirname(__file__), "FIG6.md")
     with open(path, "w") as f:
         f.write("\n".join(out) + "\n")
